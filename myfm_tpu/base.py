@@ -1,0 +1,429 @@
+"""Estimator base classes: the sklearn-style template-method API.
+
+Mirrors the reference's ``myfm.base``
+(/root/reference/src/myfm/base.py:72-399): constructor hyperparameter
+surface, ``_fit`` data-validation/grouping/callback plumbing, and the
+Regressor/Classifier mixins — but ``_train_core`` dispatches to the
+TPU trainers instead of a pybind11 module.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from collections import OrderedDict
+from typing import (
+    Callable,
+    Dict,
+    List,
+    Optional,
+    Tuple,
+    Union,
+)
+
+import numpy as np
+from scipy import sparse as sps
+from scipy.special import ndtr
+
+try:
+    from tqdm import tqdm
+except Exception:  # pragma: no cover
+
+    class tqdm:  # type: ignore
+        def __init__(self, total=None):
+            self.total = total
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def update(self, n=1):
+            pass
+
+        def set_description(self, s):
+            pass
+
+
+from .containers import FM, FMHyperParameters, LearningHistory
+from .relational import RelationBlock
+
+REAL = np.float64
+
+ArrayLike = Union[np.ndarray, sps.spmatrix]
+
+TASK_REGRESSION = "regression"
+TASK_CLASSIFICATION = "classification"
+TASK_ORDERED = "ordered"
+
+
+def std_cdf(x: np.ndarray) -> np.ndarray:
+    return ndtr(np.asarray(x, dtype=np.float64))
+
+
+def check_data_consistency(
+    X: Optional[ArrayLike], X_rel: List[RelationBlock]
+) -> int:
+    """Reference base.py:46-61: consistent row counts, X may be None."""
+    if X_rel:
+        shape_rel_all = {rel.mapper_size for rel in X_rel}
+        if len(shape_rel_all) > 1:
+            raise ValueError("Inconsistent case size for X_rel.")
+        shape = list(shape_rel_all)[0]
+        if X is not None and X.shape[0] != shape:
+            raise ValueError("X and X_rel have different shape.")
+        return int(shape)
+    if X is None:
+        raise ValueError("At least X or X_rel must be provided.")
+    return int(X.shape[0])
+
+
+class ConfigBuilder:
+    """Fluent config builder, API-compatible with the reference's
+    ``_myfm.ConfigBuilder`` (FMLearningConfig.hpp:92-201)."""
+
+    def __init__(self) -> None:
+        self.alpha_0 = 1.0
+        self.beta_0 = 1.0
+        self.gamma_0 = 1.0
+        self.mu_0 = 0.0
+        self.reg_0 = 1.0
+        self.fit_w0 = True
+        self.fit_linear = True
+        self.n_iter = 100
+        self.n_kept_samples = 10
+        self.task_type = TASK_REGRESSION
+        self.nu_oprobit = 5
+        self.cutpoint_scale = 10.0
+        self.group_index: Optional[List[int]] = None
+        self.cutpoint_groups: List[Tuple[int, List[int]]] = []
+
+    def _setter(name):  # noqa: N805
+        def set_(self, value):
+            setattr(self, name, value)
+            return self
+
+        return set_
+
+    set_alpha_0 = _setter("alpha_0")
+    set_beta_0 = _setter("beta_0")
+    set_gamma_0 = _setter("gamma_0")
+    set_mu_0 = _setter("mu_0")
+    set_reg_0 = _setter("reg_0")
+    set_fit_w0 = _setter("fit_w0")
+    set_fit_linear = _setter("fit_linear")
+    set_n_iter = _setter("n_iter")
+    set_n_kept_samples = _setter("n_kept_samples")
+    set_task_type = _setter("task_type")
+    set_nu_oprobit = _setter("nu_oprobit")
+    set_cutpoint_scale = _setter("cutpoint_scale")
+    set_cutpoint_groups = _setter("cutpoint_groups")
+    del _setter
+
+    def set_group_index(self, group_index) -> "ConfigBuilder":
+        self.group_index = list(group_index)
+        return self
+
+    def set_identical_groups(self, dim: int) -> "ConfigBuilder":
+        self.group_index = [0] * dim
+        return self
+
+
+class MyFMBase(ABC):
+    r"""Bayesian Factorization Machine base (reference base.py:72-350)."""
+
+    def __init__(
+        self,
+        rank: int,
+        init_stdev: float = 0.1,
+        random_seed: int = 42,
+        alpha_0: float = 1.0,
+        beta_0: float = 1.0,
+        gamma_0: float = 1.0,
+        mu_0: float = 0.0,
+        reg_0: float = 1.0,
+        fit_w0: bool = True,
+        fit_linear: bool = True,
+        dtype=np.float32,
+        sweep_strategy: str = "auto",
+        max_unrolled_colors: int = 16,
+    ):
+        """Set up the sampler configuration.
+
+        The first eleven parameters follow the reference exactly
+        (priors: α, λ ~ Gamma(α₀/2, β₀/2); μ ~ N(μ₀, 1/γ₀);
+        w0 ~ N(0, 1/reg₀)).  TPU-specific extras:
+
+        dtype:
+            On-device compute precision (default float32; the reference
+            is float64-only on CPU).
+        sweep_strategy:
+            "auto" → chromatic (colored) parallel Gibbs sweep;
+            "serial" → one feature per color, the faithful analogue of
+            the reference's sequential scan (same chain up to float
+            reassociation, used as a parity oracle in tests).
+        max_unrolled_colors:
+            Colors beyond this many per table execute via lax.scan
+            instead of being unrolled into the XLA program.
+        """
+        self.rank = rank
+        self.init_stdev = init_stdev
+        self.random_seed = random_seed
+        self.alpha_0 = alpha_0
+        self.beta_0 = beta_0
+        self.gamma_0 = gamma_0
+        self.mu_0 = mu_0
+        self.reg_0 = reg_0
+        self.fit_w0 = fit_w0
+        self.fit_linear = fit_linear
+        self.dtype = np.dtype(dtype)
+        self.sweep_strategy = sweep_strategy
+        self.max_unrolled_colors = max_unrolled_colors
+
+        self.predictor_ = None
+        self.history_ = None
+        self.n_groups_: Optional[int] = None
+
+    def __str__(self) -> str:
+        return (
+            "{class_name}(init_stdev={init_stdev}, alpha_0={alpha_0}, "
+            "beta_0={beta_0}, gamma_0={gamma_0}, mu_0={mu_0}, "
+            "reg_0={reg_0})"
+        ).format(
+            class_name=self.__class__.__name__,
+            init_stdev=self.init_stdev,
+            alpha_0=self.alpha_0,
+            beta_0=self.beta_0,
+            gamma_0=self.gamma_0,
+            mu_0=self.mu_0,
+            reg_0=self.reg_0,
+        )
+
+    # -- abstract hooks ------------------------------------------------
+
+    @property
+    @abstractmethod
+    def _task_type(self) -> str:
+        raise NotImplementedError
+
+    @abstractmethod
+    def _train_core(
+        self,
+        rank,
+        init_stdev,
+        X,
+        X_rel,
+        y,
+        random_seed,
+        config: ConfigBuilder,
+        callback,
+    ):
+        raise NotImplementedError
+
+    @abstractmethod
+    def _status_report(self, fm: FM, hyper: FMHyperParameters) -> str:
+        raise NotImplementedError
+
+    @abstractmethod
+    def _prepare_prediction_for_test(self, fm, X, X_rel) -> np.ndarray:
+        raise NotImplementedError
+
+    @abstractmethod
+    def _measure_score(self, prediction, y) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def _process_y(self, y: np.ndarray) -> np.ndarray:
+        return np.asarray(y).astype(np.float64)
+
+    # -- the fit template (reference base.py:207-323) ------------------
+
+    def _create_default_callback(
+        self,
+        callback_default_freq: int,
+        do_test: bool,
+        X_test=None,
+        X_rel_test: List[RelationBlock] = [],
+        y_test=None,
+    ):
+        def callback(i, fm, hyper, history):
+            if i % callback_default_freq:
+                return False, None
+            log_str = self._status_report(fm, hyper)
+            if do_test:
+                pred_this = self._prepare_prediction_for_test(
+                    fm, X_test, X_rel_test
+                )
+                val_results = self._measure_score(pred_this, y_test)
+                for key, metric in val_results.items():
+                    log_str += " {}_this: {:.2f}".format(key, metric)
+            return (False, log_str)
+
+        return callback
+
+    def _fit(
+        self,
+        X: Optional[ArrayLike],
+        y: np.ndarray,
+        X_rel: List[RelationBlock] = [],
+        X_test: Optional[ArrayLike] = None,
+        y_test: Optional[np.ndarray] = None,
+        X_rel_test: List[RelationBlock] = [],
+        n_iter: int = 100,
+        n_kept_samples: Optional[int] = None,
+        grouping: Optional[List[int]] = None,
+        group_shapes: Optional[List[int]] = None,
+        callback: Optional[
+            Callable[
+                [int, FM, FMHyperParameters, LearningHistory],
+                Tuple[bool, Optional[str]],
+            ]
+        ] = None,
+        config_builder: Optional[ConfigBuilder] = None,
+        callback_default_freq: int = 10,
+    ) -> None:
+        if config_builder is None:
+            config_builder = ConfigBuilder()
+
+        train_size = check_data_consistency(X, X_rel)
+        if X is None:
+            X = sps.csr_matrix((train_size, 0), dtype=REAL)
+        else:
+            X = sps.csr_matrix(X)
+        assert X.shape[0] == y.shape[0]
+        dim_all = X.shape[1] + sum(rel.feature_size for rel in X_rel)
+
+        if n_kept_samples is None:
+            n_kept_samples = min(max(n_iter - 5, 5), n_iter)
+        else:
+            assert n_iter >= n_kept_samples
+
+        for key in [
+            "alpha_0", "beta_0", "gamma_0", "mu_0", "reg_0",
+            "fit_w0", "fit_linear",
+        ]:
+            getattr(config_builder, "set_{}".format(key))(getattr(self, key))
+
+        if group_shapes is not None and grouping is None:
+            grouping = [
+                i for i, gsize in enumerate(group_shapes)
+                for _ in range(gsize)
+            ]
+        if grouping is None:
+            self.n_groups_ = 1
+            config_builder.set_identical_groups(dim_all)
+        else:
+            assert dim_all == len(grouping)
+            self.n_groups_ = len(set(grouping))
+            config_builder.set_group_index(grouping)
+
+        if X_test is not None or X_rel_test:
+            if y_test is None:
+                raise RuntimeError(
+                    "Must specify both (X_test or X_rel_test) and y_test."
+                )
+            test_size = check_data_consistency(X_test, X_rel_test)
+            assert test_size == y_test.shape[0]
+            if X_test is None:
+                X_test = sps.csr_matrix((test_size, 0), dtype=REAL)
+            else:
+                X_test = sps.csr_matrix(X_test)
+            do_test = True
+        elif y_test is not None:
+            raise RuntimeError(
+                "Must specify both (X_test or X_rel_test) and y_test."
+            )
+        else:
+            do_test = False
+
+        config_builder.set_n_iter(n_iter).set_n_kept_samples(n_kept_samples)
+
+        y = self._process_y(y)
+        config_builder.set_task_type(self._task_type)
+
+        if callback is None:
+            callback_not_null = self._create_default_callback(
+                callback_default_freq=callback_default_freq,
+                do_test=do_test,
+                X_test=X_test,
+                X_rel_test=X_rel_test,
+                y_test=y_test,
+            )
+        else:
+            callback_not_null = callback
+
+        with tqdm(total=n_iter) as pbar:
+
+            def wrapped_callback(i, fm, hyper, history) -> bool:
+                should_stop, message = callback_not_null(i, fm, hyper, history)
+                if message is not None:
+                    pbar.set_description(message)
+                pbar.update(1)
+                return should_stop
+
+            self.predictor_, self.history_ = self._train_core(
+                self.rank,
+                self.init_stdev,
+                X,
+                X_rel,
+                y,
+                self.random_seed,
+                config_builder,
+                wrapped_callback,
+            )
+
+    def _fetch_predictor(self):
+        if self.predictor_ is None:
+            raise RuntimeError("Predictor called before fit.")
+        return self.predictor_
+
+    # pickling: estimators hold only numpy state
+    def __getstate__(self):
+        return dict(self.__dict__)
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+
+class RegressorMixin:
+    @property
+    def _task_type(self) -> str:
+        return TASK_REGRESSION
+
+    def _prepare_prediction_for_test(self, fm, X, X_rel):
+        return fm.predict_score(X, X_rel)
+
+    def _status_report(self, fm, hyper) -> str:
+        return "alpha = {:.2f} w0 = {:.2f} ".format(hyper.alpha, fm.w0)
+
+    def _measure_score(self, prediction, y) -> Dict[str, float]:
+        result = OrderedDict()
+        result["rmse"] = float(((y - prediction) ** 2).mean() ** 0.5)
+        result["mae"] = float(np.abs(y - prediction).mean())
+        return result
+
+
+class ClassifierMixin:
+    @property
+    def _task_type(self) -> str:
+        return TASK_CLASSIFICATION
+
+    def _prepare_prediction_for_test(self, fm, X, X_rel):
+        return std_cdf(fm.predict_score(X, X_rel))
+
+    def _process_y(self, y: np.ndarray) -> np.ndarray:
+        # {0,1} → {-1,+1} (reference base.py:385-386)
+        return np.asarray(y).astype(np.float64) * 2 - 1
+
+    def _measure_score(self, prediction, y) -> Dict[str, float]:
+        result = OrderedDict()
+        lp = np.log(prediction + 1e-15)
+        l1mp = np.log(1 - prediction + 1e-15)
+        gt = np.asarray(y) > 0
+        result["ll"] = float(
+            (-lp.dot(gt) - l1mp.dot(~gt)) / max(1, prediction.shape[0])
+        )
+        result["accuracy"] = float(np.mean((prediction >= 0.5) == gt))
+        return result
+
+    def _status_report(self, fm, hyper) -> str:
+        return "w0 = {:.2f} ".format(fm.w0)

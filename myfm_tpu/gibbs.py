@@ -1,0 +1,349 @@
+"""Gibbs-sampler estimators: regressor, classifier, ordered probit.
+
+API parity with /root/reference/src/myfm/gibbs.py:32-543.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+from scipy import sparse as sps
+
+from .base import (
+    REAL,
+    ArrayLike,
+    ClassifierMixin,
+    ConfigBuilder,
+    MyFMBase,
+    RegressorMixin,
+    TASK_ORDERED,
+    check_data_consistency,
+)
+from .containers import FM, FMHyperParameters, LearningHistory
+from .design import compile_design
+from .ops.gibbs import GibbsConfig
+from .relational import RelationBlock
+from .trainer import GibbsTrainer
+
+
+class MyFMGibbsBase(MyFMBase):
+    @property
+    def w0_samples(self) -> Optional[np.ndarray]:
+        r"""Samples for the global bias ``w0``; ``None`` before fit."""
+        if self.predictor_ is None:
+            return None
+        return np.asarray([fm.w0 for fm in self.predictor_.samples])
+
+    @property
+    def w_samples(self) -> Optional[np.ndarray]:
+        r"""Samples for linear coefficients ``w`` ([sample, feature])."""
+        if self.predictor_ is None:
+            return None
+        return np.asarray([fm.w for fm in self.predictor_.samples])
+
+    @property
+    def V_samples(self) -> Optional[np.ndarray]:
+        r"""Samples for ``V`` ([sample, feature, factor])."""
+        if self.predictor_ is None:
+            return None
+        return np.asarray([fm.V for fm in self.predictor_.samples])
+
+    def _predict_core(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: List[RelationBlock] = [],
+        n_workers: Optional[int] = None,
+    ) -> np.ndarray:
+        predictor = self._fetch_predictor()
+        shape = check_data_consistency(X, X_rel)
+        if X is None:
+            X = sps.csr_matrix((shape, 0), dtype=REAL)
+        else:
+            X = sps.csr_matrix(X)
+        if n_workers is None:
+            return predictor.predict(X, X_rel)
+        return predictor.predict_parallel(X, X_rel, n_workers)
+
+    def _train_core(
+        self,
+        rank: int,
+        init_stdev: float,
+        X: sps.csr_matrix,
+        X_rel: List[RelationBlock],
+        y: np.ndarray,
+        random_seed: int,
+        config: ConfigBuilder,
+        callback,
+    ):
+        plan = compile_design(
+            X,
+            X_rel,
+            grouping=np.asarray(config.group_index, dtype=np.int32),
+            dtype=self.dtype,
+            strategy=self.sweep_strategy,
+            max_unrolled_colors=self.max_unrolled_colors,
+        )
+        n_class = 0
+        if config.cutpoint_groups:
+            n_class = config.cutpoint_groups[0][0]
+        cfg = GibbsConfig(
+            task=config.task_type,
+            alpha_0=config.alpha_0,
+            beta_0=config.beta_0,
+            gamma_0=config.gamma_0,
+            mu_0=config.mu_0,
+            reg_0=config.reg_0,
+            fit_w0=config.fit_w0,
+            fit_linear=config.fit_linear,
+            nu_oprobit=config.nu_oprobit,
+            cutpoint_scale=config.cutpoint_scale,
+            n_class=n_class,
+        )
+        trainer = GibbsTrainer(
+            plan, y, cfg, rank, init_stdev, random_seed, self.dtype
+        )
+        return trainer.run(config.n_iter, config.n_kept_samples, callback)
+
+    def get_hyper_trace(self) -> pd.DataFrame:
+        """Tidy per-iteration hyperparameter trace (gibbs.py:109-142)."""
+        if (self.n_groups_ is None) or (self.history_ is None):
+            raise RuntimeError("Sampler not run yet.")
+        columns = (
+            ["alpha"]
+            + ["mu_w[{}]".format(g) for g in range(self.n_groups_)]
+            + ["lambda_w[{}]".format(g) for g in range(self.n_groups_)]
+            + [
+                "mu_V[{},{}]".format(g, r)
+                for g in range(self.n_groups_)
+                for r in range(self.rank)
+            ]
+            + [
+                "lambda_V[{},{}]".format(g, r)
+                for g in range(self.n_groups_)
+                for r in range(self.rank)
+            ]
+        )
+        res = []
+        for hyper in self.history_.hypers:
+            row = np.zeros(len(columns), dtype=np.float64)
+            row[0] = hyper.alpha
+            cursor = 1
+            for hp in [hyper.mu_w, hyper.lambda_w, hyper.mu_V,
+                       hyper.lambda_V]:
+                row[cursor : cursor + hp.size] = np.asarray(hp).ravel()
+                cursor += hp.size
+            res.append(row)
+        df = pd.DataFrame(np.vstack(res))
+        df.columns = columns
+        return df
+
+
+class MyFMGibbsRegressor(RegressorMixin, MyFMGibbsBase):
+    r"""Bayesian FM regressor via collapsed Gibbs sampling."""
+
+    def fit(
+        self,
+        X: Optional[ArrayLike],
+        y: np.ndarray,
+        X_rel: List[RelationBlock] = [],
+        X_test: Optional[ArrayLike] = None,
+        y_test: Optional[np.ndarray] = None,
+        X_rel_test: List[RelationBlock] = [],
+        n_iter: int = 100,
+        n_kept_samples: Optional[int] = None,
+        grouping: Optional[List[int]] = None,
+        group_shapes: Optional[List[int]] = None,
+        callback: Optional[
+            Callable[
+                [int, FM, FMHyperParameters, LearningHistory],
+                Tuple[bool, Optional[str]],
+            ]
+        ] = None,
+        config_builder: Optional[ConfigBuilder] = None,
+    ) -> "MyFMGibbsRegressor":
+        r"""Run Gibbs sampling (see the reference docstring,
+        gibbs.py:166-202, for parameter semantics)."""
+        self._fit(
+            X, y, X_rel=X_rel, X_test=X_test, X_rel_test=X_rel_test,
+            y_test=y_test, n_iter=n_iter, n_kept_samples=n_kept_samples,
+            grouping=grouping, callback=callback, group_shapes=group_shapes,
+            config_builder=config_builder,
+        )
+        return self
+
+    def predict(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: List[RelationBlock] = [],
+        n_workers: Optional[int] = None,
+    ) -> np.ndarray:
+        """Posterior-predictive mean over the kept samples."""
+        return self._predict_core(X, X_rel, n_workers=n_workers)
+
+
+class MyFMGibbsClassifier(ClassifierMixin, MyFMGibbsBase):
+    r"""Bayesian FM binary classifier (probit data augmentation)."""
+
+    def fit(
+        self,
+        X: Optional[ArrayLike],
+        y: np.ndarray,
+        X_rel: List[RelationBlock] = [],
+        X_test: Optional[ArrayLike] = None,
+        y_test: Optional[np.ndarray] = None,
+        X_rel_test: List[RelationBlock] = [],
+        n_iter: int = 100,
+        n_kept_samples: Optional[int] = None,
+        grouping: Optional[List[int]] = None,
+        group_shapes: Optional[List[int]] = None,
+        callback: Optional[
+            Callable[
+                [int, FM, FMHyperParameters, LearningHistory],
+                Tuple[bool, Optional[str]],
+            ]
+        ] = None,
+        config_builder: Optional[ConfigBuilder] = None,
+    ) -> "MyFMGibbsClassifier":
+        self._fit(
+            X, y, X_rel=X_rel, X_test=X_test, X_rel_test=X_rel_test,
+            y_test=y_test, n_iter=n_iter, n_kept_samples=n_kept_samples,
+            grouping=grouping, callback=callback, group_shapes=group_shapes,
+            config_builder=config_builder,
+        )
+        return self
+
+    def predict(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: List[RelationBlock] = [],
+        n_workers: Optional[int] = None,
+    ) -> np.ndarray:
+        """Class prediction at threshold 0.5."""
+        return self.predict_proba(X, X_rel, n_workers=n_workers) > 0.5
+
+    def predict_proba(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: List[RelationBlock] = [],
+        n_workers: Optional[int] = None,
+    ) -> np.ndarray:
+        """P(y=1 | x): posterior mean of per-sample probit probabilities."""
+        return self._predict_core(X, X_rel, n_workers=n_workers)
+
+
+class MyFMOrderedProbit(MyFMGibbsBase):
+    """Bayesian FM for ordinal regression (cumulative probit link)."""
+
+    @property
+    def _task_type(self) -> str:
+        return TASK_ORDERED
+
+    def fit(
+        self,
+        X: Optional[ArrayLike],
+        y: np.ndarray,
+        X_rel: List[RelationBlock] = [],
+        X_test: Optional[ArrayLike] = None,
+        y_test: Optional[np.ndarray] = None,
+        X_rel_test: List[RelationBlock] = [],
+        n_iter: int = 100,
+        n_kept_samples: Optional[int] = None,
+        grouping: Optional[List[int]] = None,
+        group_shapes: Optional[List[int]] = None,
+        callback: Optional[
+            Callable[
+                [int, FM, FMHyperParameters, LearningHistory],
+                Tuple[bool, Optional[str]],
+            ]
+        ] = None,
+        callback_default_freq: int = 5,
+    ) -> "MyFMOrderedProbit":
+        config_builder = ConfigBuilder()
+        y = np.asarray(y)
+        n_class = int(y.max()) + 1
+        # the Python layer always uses one cutpoint group over all rows
+        # (reference gibbs.py:429-432)
+        config_builder.set_cutpoint_groups(
+            [(n_class, list(range(y.shape[0])))]
+        )
+        self.n_cutpoint_groups = 1
+        self._fit(
+            X, y, X_rel=X_rel, X_test=X_test, y_test=y_test,
+            X_rel_test=X_rel_test, n_iter=n_iter,
+            n_kept_samples=n_kept_samples, grouping=grouping,
+            callback=callback, group_shapes=group_shapes,
+            config_builder=config_builder,
+            callback_default_freq=callback_default_freq,
+        )
+        return self
+
+    def _process_y(self, y: np.ndarray) -> np.ndarray:
+        y = np.asarray(y)
+        assert y.min() >= 0
+        return y.astype(np.float64)
+
+    def _prepare_prediction_for_test(self, fm, X, X_rel):
+        return fm.oprobit_predict_proba(
+            sps.csr_matrix(X, dtype=REAL), X_rel, 0
+        )
+
+    def _measure_score(self, prediction, y) -> Dict[str, float]:
+        from collections import OrderedDict
+
+        result: Dict[str, float] = OrderedDict()
+        result["accuracy"] = float(
+            (np.argmax(prediction, axis=1) == y).mean()
+        )
+        result["log_loss"] = float(
+            -np.log(
+                prediction[
+                    np.arange(prediction.shape[0]), y.astype(np.int64)
+                ]
+                + 1e-15
+            ).mean()
+        )
+        return result
+
+    def _status_report(self, fm, hyper) -> str:
+        log_str = "w0 = {:.2f}, ".format(fm.w0)
+        if len(fm.cutpoints) == 1:
+            log_str += "cutpoint = {} ".format(
+                ["{:.3f}".format(c) for c in list(fm.cutpoints[0])]
+            )
+        return log_str
+
+    def predict_proba(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: List[RelationBlock] = [],
+        n_workers: Optional[int] = None,
+    ) -> np.ndarray:
+        """Per-class probabilities averaged over kept samples [N, K]."""
+        predictor = self._fetch_predictor()
+        shape = check_data_consistency(X, X_rel)
+        if X is None:
+            X = sps.csr_matrix((shape, 0), dtype=REAL)
+        else:
+            X = sps.csr_matrix(X)
+        return predictor.predict_parallel_oprobit(
+            X, X_rel, n_workers or 1, 0
+        )
+
+    def predict(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: List[RelationBlock] = [],
+    ) -> np.ndarray:
+        """argmax class prediction."""
+        return self.predict_proba(X, X_rel=X_rel).argmax(axis=1)
+
+    @property
+    def cutpoint_samples(self) -> Optional[np.ndarray]:
+        """Samples for the cutpoints; ``None`` before fit."""
+        if self.predictor_ is None:
+            return None
+        return np.asarray(
+            [fm.cutpoints[0] for fm in self.predictor_.samples]
+        )

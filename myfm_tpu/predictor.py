@@ -1,0 +1,196 @@
+"""Posterior-predictive averaging over kept Gibbs samples.
+
+TPU-native analogue of the reference ``Predictor``
+(/root/reference/include/myfm/predictor.hpp:14-167).  Where the
+reference spreads samples over a std::thread pool, here the sample axis
+is batched on-device: samples are stacked in memory-bounded chunks and
+scored with a vmapped forward pass, so the averaging is data-parallel by
+construction.  ``n_workers`` is accepted for API parity and ignored.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+from scipy import sparse as sps
+
+import jax
+import jax.numpy as jnp
+
+from .containers import FM
+from .design import compile_design
+from .ops.forward import predict_score
+from .relational import RelationBlock
+
+ArrayLike = Union[np.ndarray, sps.spmatrix]
+
+TASK_REGRESSION = "regression"
+TASK_CLASSIFICATION = "classification"
+TASK_ORDERED = "ordered"
+
+_CHUNK_ELEMENTS = 1 << 26
+
+
+def _std_cdf(x):
+    return 0.5 * (1.0 + jax.scipy.special.erf(x * np.sqrt(0.5)))
+
+
+class Predictor:
+    """Holds kept posterior samples; averages the posterior predictive."""
+
+    def __init__(self, rank: int, n_features: int, task: str,
+                 dtype=np.float32):
+        self.rank = rank
+        self.n_features = n_features
+        self.task = task
+        self.dtype = np.dtype(dtype)
+        self.samples: List[FM] = []
+
+    # -- internals ----------------------------------------------------
+
+    def _compile(self, X: Optional[ArrayLike],
+                 X_rel: Sequence[RelationBlock]):
+        return compile_design(
+            X, X_rel, dtype=self.dtype, for_training=False
+        )
+
+    def _sample_chunks(self):
+        per_sample = max(1, self.n_features * max(self.rank, 1))
+        chunk = max(1, min(len(self.samples), _CHUNK_ELEMENTS // per_sample))
+        for s0 in range(0, len(self.samples), chunk):
+            part = self.samples[s0 : s0 + chunk]
+            w0s = jnp.asarray(
+                np.array([s.w0 for s in part], dtype=self.dtype)
+            )
+            ws = jnp.asarray(
+                np.stack([s.w for s in part]).astype(self.dtype)
+            )
+            vs = jnp.asarray(
+                np.stack([s.V for s in part]).astype(self.dtype)
+            )
+            yield part, w0s, ws, vs
+
+    # -- public API (parity with predictor.hpp) -----------------------
+
+    def predict(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: Sequence[RelationBlock] = (),
+        n_workers: Optional[int] = None,
+    ) -> np.ndarray:
+        """Posterior-predictive mean (probit-squashed per sample for
+        classification, then averaged — predictor.hpp:126-147)."""
+        if not self.samples:
+            raise RuntimeError("Predictor has no samples.")
+        plan = self._compile(X, X_rel)
+        squash = self.task == TASK_CLASSIFICATION
+
+        @jax.jit
+        def score_sum(w0s, ws, vs):
+            def one(w0, w, V):
+                s = predict_score(plan, w0, w, V)
+                return _std_cdf(s) if squash else s
+
+            return jnp.sum(jax.vmap(one)(w0s, ws, vs), axis=0)
+
+        total = np.zeros(plan.n_rows, dtype=np.float64)
+        for part, w0s, ws, vs in self._sample_chunks():
+            total += np.asarray(score_sum(w0s, ws, vs), dtype=np.float64)
+        return total / len(self.samples)
+
+    # thread-count arguments kept for reference API parity; batching on
+    # the accelerator replaces the reference's thread pool.
+    def predict_parallel(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: Sequence[RelationBlock] = (),
+        n_workers: Optional[int] = None,
+    ) -> np.ndarray:
+        return self.predict(X, X_rel)
+
+    def predict_parallel_oprobit(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: Sequence[RelationBlock] = (),
+        n_workers: Optional[int] = None,
+        cutpoint_index: int = 0,
+    ) -> np.ndarray:
+        """Average per-sample ordinal class probabilities
+        (predictor.hpp:78-124 + FM.hpp:137-162)."""
+        if not self.samples:
+            raise RuntimeError("Predictor has no samples.")
+        plan = self._compile(X, X_rel)
+
+        @jax.jit
+        def proba_sum(w0s, ws, vs, cps):
+            def one(w0, w, V, gamma):
+                s = predict_score(plan, w0, w, V)
+                cdf = _std_cdf(gamma[None, :] - s[:, None])  # [N, K-1]
+                lower = jnp.concatenate(
+                    [jnp.zeros_like(cdf[:, :1]), cdf], axis=1
+                )
+                upper = jnp.concatenate(
+                    [cdf, jnp.ones_like(cdf[:, :1])], axis=1
+                )
+                return upper - lower
+
+            return jnp.sum(jax.vmap(one)(w0s, ws, vs, cps), axis=0)
+
+        total = None
+        for part, w0s, ws, vs in self._sample_chunks():
+            cps = jnp.asarray(
+                np.stack(
+                    [s.cutpoints[cutpoint_index] for s in part]
+                ).astype(self.dtype)
+            )
+            out = np.asarray(proba_sum(w0s, ws, vs, cps), dtype=np.float64)
+            total = out if total is None else total + out
+        return total / len(self.samples)
+
+    def __getstate__(self):
+        return {
+            "rank": self.rank,
+            "n_features": self.n_features,
+            "task": self.task,
+            "dtype": self.dtype,
+            "samples": self.samples,
+        }
+
+    def __setstate__(self, state):
+        self.rank = state["rank"]
+        self.n_features = state["n_features"]
+        self.task = state["task"]
+        self.dtype = state["dtype"]
+        self.samples = state["samples"]
+
+
+class VariationalPredictor:
+    """Wraps the single converged VI weight set (declare_module.hpp:343-346)."""
+
+    def __init__(self, rank: int, n_features: int, task: str,
+                 dtype=np.float32):
+        self.rank = rank
+        self.n_features = n_features
+        self.task = task
+        self.dtype = np.dtype(dtype)
+        self.samples = []  # exactly one VariationalFM after fit
+
+    def weights(self):
+        return self.samples[0]
+
+    def predict(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: Sequence[RelationBlock] = (),
+        n_workers: Optional[int] = None,
+    ) -> np.ndarray:
+        if not self.samples:
+            raise RuntimeError("Predictor has no samples.")
+        vfm = self.samples[0]
+        score = vfm.predict_score(X, X_rel)
+        if self.task == TASK_CLASSIFICATION:
+            from scipy.special import ndtr
+
+            return ndtr(score)
+        return score

@@ -1,0 +1,176 @@
+"""Training loop driving the jitted Gibbs sweep.
+
+Equivalent of the reference's ``learn_with_callback``
+(/root/reference/include/myfm/FMTrainer.hpp:56-87): runs ``n_iter``
+sweeps, keeps the last ``n_kept_samples`` weight samples, records the
+hyperparameter trace every iteration, invokes the (Python) callback with
+early-stop support.
+
+The sweep itself is a single jitted, buffer-donating XLA program; the
+Python loop only dispatches it and harvests small host copies.  Weight
+samples are staged to host memory as they are kept so the device never
+holds the chain (the reference similarly copies FMs into process RAM).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .containers import FM, FMHyperParameters, LearningHistory
+from .design import DesignPlan
+from .ops import oprobit as oprobit_ops
+from .ops.forward import predict_score
+from .ops.gibbs import (
+    TASK_ORDERED,
+    GibbsConfig,
+    GibbsState,
+    gibbs_sweep,
+    init_state,
+)
+from .predictor import Predictor
+
+
+class LazyFMView(FM):
+    """FM view over device state; fetches arrays to host only on access."""
+
+    def __init__(self, state: GibbsState):
+        self._state = state
+        self._w0 = None
+        self._w = None
+        self._V = None
+        self._cutpoints = None
+
+    @property
+    def w0(self):  # type: ignore[override]
+        if self._w0 is None:
+            self._w0 = float(self._state.w0)
+        return self._w0
+
+    @property
+    def w(self):  # type: ignore[override]
+        if self._w is None:
+            self._w = np.asarray(self._state.w)
+        return self._w
+
+    @property
+    def V(self):  # type: ignore[override]
+        if self._V is None:
+            self._V = np.asarray(self._state.V)
+        return self._V
+
+    @property
+    def cutpoints(self):  # type: ignore[override]
+        if self._cutpoints is None:
+            if self._state.cutpoints is None:
+                self._cutpoints = []
+            else:
+                self._cutpoints = [np.asarray(self._state.cutpoints)]
+        return self._cutpoints
+
+    def materialize(self) -> FM:
+        return FM(self.w0, self.w, self.V, self.cutpoints)
+
+
+def _fetch_hyper(state: GibbsState) -> FMHyperParameters:
+    return FMHyperParameters(
+        alpha=float(state.alpha),
+        mu_w=np.asarray(state.mu_w),
+        lambda_w=np.asarray(state.lambda_w),
+        mu_V=np.asarray(state.mu_V),
+        lambda_V=np.asarray(state.lambda_V),
+    )
+
+
+class GibbsTrainer:
+    def __init__(
+        self,
+        plan: DesignPlan,
+        y: np.ndarray,
+        cfg: GibbsConfig,
+        rank: int,
+        init_stdev: float,
+        random_seed: int,
+        dtype=np.float32,
+    ):
+        self.plan = plan
+        self.cfg = cfg
+        self.rank = rank
+        self.init_stdev = init_stdev
+        self.random_seed = random_seed
+        self.dtype = np.dtype(dtype)
+        if cfg.task == TASK_ORDERED:
+            # latent class labels stay integer; residuals use z
+            self.y_int = jnp.asarray(np.asarray(y, dtype=np.int32))
+            self.y = jnp.asarray(np.asarray(y).astype(self.dtype))
+        else:
+            self.y = jnp.asarray(np.asarray(y).astype(self.dtype))
+            self.y_int = None
+        self._sweep = jax.jit(
+            gibbs_sweep, static_argnums=(4,), donate_argnums=(1,)
+        )
+
+    def _initialize(self, key) -> GibbsState:
+        k_init, k_e = jax.random.split(key)
+        state = init_state(
+            self.plan, self.rank, self.init_stdev, k_init, self.cfg,
+            self.dtype,
+        )
+
+        if self.cfg.task == TASK_ORDERED:
+            return oprobit_ops.initialize_oprobit_state(
+                self.plan, state, self.y_int, self.cfg, k_e
+            )
+
+        @jax.jit
+        def init_e(state, y):
+            score = predict_score(self.plan, state.w0, state.w, state.V)
+            # reference initialize_e (FMTrainer.hpp:99-119): e = score - y
+            # for both regression and (±1-coded) classification.
+            return score - y
+
+        e = init_e(state, self.y)
+        return GibbsState(
+            w0=state.w0, w=state.w, V=state.V, e=e, alpha=state.alpha,
+            mu_w=state.mu_w, lambda_w=state.lambda_w, mu_V=state.mu_V,
+            lambda_V=state.lambda_V,
+        )
+
+    def run(
+        self,
+        n_iter: int,
+        n_kept_samples: int,
+        callback: Optional[
+            Callable[[int, FM, FMHyperParameters, LearningHistory], bool]
+        ] = None,
+    ) -> Tuple[Predictor, LearningHistory]:
+        master = jax.random.PRNGKey(self.random_seed)
+        state = self._initialize(jax.random.fold_in(master, 0))
+
+        predictor = Predictor(
+            self.rank, self.plan.n_features, self.cfg.task, self.dtype
+        )
+        history = LearningHistory()
+
+        y_arg = self.y_int if self.cfg.task == TASK_ORDERED else self.y
+        for it in range(n_iter):
+            key = jax.random.fold_in(master, 1 + it)
+            state = self._sweep(self.plan, state, y_arg, key, self.cfg)
+
+            view = LazyFMView(state)
+            if it + n_kept_samples >= n_iter:
+                predictor.samples.append(view.materialize())
+            history.hypers.append(_fetch_hyper(state))
+
+            if callback is not None:
+                should_stop = callback(it, view, history.hypers[-1], history)
+                if should_stop:
+                    break
+
+        if self.cfg.task == TASK_ORDERED and state.n_mh_accept is not None:
+            history.n_mh_accept = [int(state.n_mh_accept)]
+        return predictor, history

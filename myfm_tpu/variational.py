@@ -1,0 +1,188 @@
+"""Variational-inference estimators (coordinate-ascent mean field).
+
+API parity with /root/reference/src/myfm/variational.py:28-383.
+The VI engine itself lives in ops/variational.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+from scipy import sparse as sps
+
+from .base import (
+    ArrayLike,
+    ClassifierMixin,
+    ConfigBuilder,
+    MyFMBase,
+    RegressorMixin,
+)
+from .relational import RelationBlock
+
+
+def runtime_error_to_optional(fn):
+    """Property access returns None before fit (variational.py:28-37)."""
+
+    def wrapped(self):
+        try:
+            return fn(self)
+        except RuntimeError:
+            return None
+
+    return property(wrapped)
+
+
+class MyFMVariationalBase(MyFMBase):
+    def _fetch_weights(self):
+        if self.predictor_ is None:
+            raise RuntimeError("Not fit yet.")
+        return self.predictor_.samples[0]
+
+    @runtime_error_to_optional
+    def w0_mean(self) -> Optional[float]:
+        return self._fetch_weights().w0
+
+    @runtime_error_to_optional
+    def w0_var(self) -> Optional[float]:
+        return self._fetch_weights().w0_var
+
+    @runtime_error_to_optional
+    def w_mean(self) -> Optional[np.ndarray]:
+        return self._fetch_weights().w
+
+    @runtime_error_to_optional
+    def w_var(self) -> Optional[np.ndarray]:
+        return self._fetch_weights().w_var
+
+    @runtime_error_to_optional
+    def V_mean(self) -> Optional[np.ndarray]:
+        return self._fetch_weights().V
+
+    @runtime_error_to_optional
+    def V_var(self) -> Optional[np.ndarray]:
+        return self._fetch_weights().V_var
+
+    def _predict_core(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: List[RelationBlock] = [],
+    ) -> np.ndarray:
+        predictor = self._fetch_predictor()
+        return predictor.predict(X, X_rel)
+
+    def _train_core(
+        self,
+        rank: int,
+        init_stdev: float,
+        X: sps.csr_matrix,
+        X_rel: List[RelationBlock],
+        y: np.ndarray,
+        random_seed: int,
+        config: ConfigBuilder,
+        callback,
+    ):
+        from .design import compile_design
+        from .ops.variational import VariationalConfig
+        from .vi_trainer import VariationalTrainer
+
+        plan = compile_design(
+            X,
+            X_rel,
+            grouping=np.asarray(config.group_index, dtype=np.int32),
+            dtype=self.dtype,
+            strategy=self.sweep_strategy,
+            max_unrolled_colors=self.max_unrolled_colors,
+        )
+        cfg = VariationalConfig(
+            task=config.task_type,
+            alpha_0=config.alpha_0,
+            beta_0=config.beta_0,
+            gamma_0=config.gamma_0,
+            mu_0=config.mu_0,
+            reg_0=config.reg_0,
+            fit_w0=config.fit_w0,
+            fit_linear=config.fit_linear,
+        )
+        trainer = VariationalTrainer(
+            plan, y, cfg, rank, init_stdev, random_seed, self.dtype
+        )
+        return trainer.run(config.n_iter, callback)
+
+
+class VariationalFMRegressor(RegressorMixin, MyFMVariationalBase):
+    r"""Variational-inference FM regressor (deterministic CAVI)."""
+
+    def fit(
+        self,
+        X: Optional[ArrayLike],
+        y: np.ndarray,
+        X_rel: List[RelationBlock] = [],
+        X_test: Optional[ArrayLike] = None,
+        y_test: Optional[np.ndarray] = None,
+        X_rel_test: List[RelationBlock] = [],
+        n_iter: int = 100,
+        n_kept_samples: Optional[int] = None,
+        grouping: Optional[List[int]] = None,
+        group_shapes: Optional[List[int]] = None,
+        callback: Optional[Callable] = None,
+        config_builder: Optional[ConfigBuilder] = None,
+    ) -> "VariationalFMRegressor":
+        self._fit(
+            X, y, X_rel=X_rel, X_test=X_test, y_test=y_test,
+            X_rel_test=X_rel_test, n_iter=n_iter,
+            n_kept_samples=n_kept_samples, grouping=grouping,
+            group_shapes=group_shapes, callback=callback,
+            config_builder=config_builder,
+        )
+        return self
+
+    def predict(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: List[RelationBlock] = [],
+    ) -> np.ndarray:
+        """Score with the converged posterior means."""
+        return self._predict_core(X, X_rel)
+
+
+class VariationalFMClassifier(ClassifierMixin, MyFMVariationalBase):
+    r"""Variational-inference FM binary classifier (probit link)."""
+
+    def fit(
+        self,
+        X: Optional[ArrayLike],
+        y: np.ndarray,
+        X_rel: List[RelationBlock] = [],
+        X_test: Optional[ArrayLike] = None,
+        y_test: Optional[np.ndarray] = None,
+        X_rel_test: List[RelationBlock] = [],
+        n_iter: int = 100,
+        n_kept_samples: Optional[int] = None,
+        grouping: Optional[List[int]] = None,
+        group_shapes: Optional[List[int]] = None,
+        callback: Optional[Callable] = None,
+        config_builder: Optional[ConfigBuilder] = None,
+    ) -> "VariationalFMClassifier":
+        self._fit(
+            X, y, X_rel=X_rel, X_test=X_test, y_test=y_test,
+            X_rel_test=X_rel_test, n_iter=n_iter,
+            n_kept_samples=n_kept_samples, grouping=grouping,
+            group_shapes=group_shapes, callback=callback,
+            config_builder=config_builder,
+        )
+        return self
+
+    def predict(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: List[RelationBlock] = [],
+    ) -> np.ndarray:
+        return self.predict_proba(X, X_rel) > 0.5
+
+    def predict_proba(
+        self,
+        X: Optional[ArrayLike],
+        X_rel: List[RelationBlock] = [],
+    ) -> np.ndarray:
+        return self._predict_core(X, X_rel)
