@@ -1,0 +1,60 @@
+"""Probit-classifier tests (strategy of reference
+tests/classification/test_classification.py: Gram-matrix recovery on a
+probit-generated dataset + accessor None-ness before fit)."""
+
+import numpy as np
+
+from myfm_tpu import MyFMGibbsClassifier
+
+from .conftest import make_sparse_data
+
+
+def test_classifier_posterior_concentration(stub_weight):
+    rng = np.random.RandomState(0)
+    X, score = make_sparse_data(2000, stub_weight, seed=5)
+    # exact probit generative model: y = 1[score + N(0,1) > 0]
+    y = (score + rng.normal(size=score.shape) > 0).astype(np.int64)
+
+    clf = MyFMGibbsClassifier(3)
+    assert clf.w0_samples is None
+    assert clf.w_samples is None
+    assert clf.V_samples is None
+
+    clf.fit(X, y, n_iter=100, n_kept_samples=50)
+
+    proba = clf.predict_proba(X)
+    assert proba.min() >= 0.0 and proba.max() <= 1.0
+    acc = ((proba > 0.5) == (y > 0)).mean()
+    assert acc > 0.8
+
+    # Gram-matrix recovery of the pairwise structure
+    last_V = clf.V_samples[-20:]
+    F = stub_weight.w.shape[0]
+    for i in range(F):
+        for j in range(i + 1, F):
+            truth = stub_weight.V[i].dot(stub_weight.V[j])
+            if abs(truth) < 0.1:
+                continue
+            sign = np.sign(truth)
+            mean_got = np.mean([V_[i].dot(V_[j]) for V_ in last_V])
+            assert mean_got * sign > abs(truth) * 0.4
+            assert mean_got * sign < abs(truth) * 2.5
+
+    # w0 should be within a reasonable band of truth
+    assert abs(np.mean(clf.w0_samples[-20:]) - stub_weight.w0) < 1.0
+
+
+def test_classifier_predict_consistency(stub_weight):
+    rng = np.random.RandomState(1)
+    X, score = make_sparse_data(300, stub_weight, seed=6)
+    y = (score + rng.normal(size=score.shape) > 0).astype(np.int64)
+    clf = MyFMGibbsClassifier(2).fit(X, y, n_iter=20, n_kept_samples=10)
+    proba = clf.predict_proba(X)
+    # posterior mean of per-sample probit probabilities
+    from scipy.special import ndtr
+
+    manual = np.mean(
+        [ndtr(s.predict_score(X)) for s in clf.predictor_.samples], axis=0
+    )
+    np.testing.assert_allclose(proba, manual, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(clf.predict(X), proba > 0.5)
