@@ -381,18 +381,37 @@ def sweep_V(plan: DesignPlan, e, V, alpha, lambda_V, mu_V, key):
     return Vt_new.T, e
 
 
-def refresh_e(plan: DesignPlan, w0, w, V, y, key, cfg: GibbsConfig):
+def refresh_e(plan: DesignPlan, state: GibbsState, w0, w, V, y, key,
+              cfg: GibbsConfig):
     """Recompute residuals from scratch (FMTrainer.hpp:493-522).
 
     Regression: e = score − y.  Classification: redraw the latent probit
-    response z ~ TN(score, 1; sign(y)) and set e = score − z.
+    response z ~ TN(score, 1; sign(y)) and set e = score − z.  Ordered:
+    MH cutpoint step, then z ~ TN(score, 1; class interval).
+
+    Returns (e, cutpoints, oprobit_alpha, n_mh_accept).
     """
     score = predict_score(plan, w0, w, V)
     if cfg.task == TASK_REGRESSION:
-        return score - y
+        return score - y, None, None, None
     elif cfg.task == TASK_CLASSIFICATION:
         t = truncated_std_normal_onesided(key, -score, y > 0)
-        return -t
+        return -t, None, None, None
+    elif cfg.task == TASK_ORDERED:
+        from .oprobit import (
+            alpha_to_gamma,
+            oprobit_mh_step,
+            sample_z_residual,
+        )
+
+        k_mh, k_z = jax.random.split(key)
+        alpha_new, acc = oprobit_mh_step(
+            k_mh, score, y, state.oprobit_alpha, state.n_mh_accept,
+            cfg.n_class, cfg.reg_0, float(cfg.nu_oprobit),
+        )
+        gamma = alpha_to_gamma(alpha_new)
+        e = sample_z_residual(k_z, score, y, gamma, cfg.n_class)
+        return e, gamma, alpha_new, acc
     raise NotImplementedError(f"refresh_e for task {cfg.task}")
 
 
@@ -433,14 +452,20 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
     )
     V, e = sweep_V(plan, e, state.V, alpha, lambda_V, mu_V, k_v)
 
-    e = refresh_e(plan, w0, w, V, y, k_e, cfg)
+    e, cutpoints, oprobit_alpha, n_mh_accept = refresh_e(
+        plan, state, w0, w, V, y, k_e, cfg
+    )
+    if cfg.task != TASK_ORDERED:
+        cutpoints = state.cutpoints
+        oprobit_alpha = state.oprobit_alpha
+        n_mh_accept = state.n_mh_accept
 
     return GibbsState(
         w0=w0, w=w, V=V, e=e, alpha=alpha,
         mu_w=mu_w, lambda_w=lambda_w, mu_V=mu_V, lambda_V=lambda_V,
-        cutpoints=state.cutpoints,
-        oprobit_alpha=state.oprobit_alpha,
-        n_mh_accept=state.n_mh_accept,
+        cutpoints=cutpoints,
+        oprobit_alpha=oprobit_alpha,
+        n_mh_accept=n_mh_accept,
     )
 
 

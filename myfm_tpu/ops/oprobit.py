@@ -1,14 +1,250 @@
-"""Ordered-probit cutpoint sampler (Albert & Chib Metropolis-within-Gibbs).
+"""Ordered-probit cutpoint sampler: Metropolis-within-Gibbs on TPU.
 
-TPU re-implementation of /root/reference/include/myfm/OProbitSampler.hpp.
-Filled in by the ordered-probit milestone; this module currently hosts
-the state-initialization entry point used by the trainer.
+Re-implementation of the reference's ``OprobitSampler``
+(/root/reference/include/myfm/OProbitSampler.hpp): cutpoints γ are
+reparameterized as unconstrained α (γ₀ = α₀, γᵢ = γᵢ₋₁ + exp αᵢ), the
+penalized ordinal-probit log-likelihood is maximized by a damped Newton
+iteration, and a multivariate-t proposal centred at the mode (precision
+= Hessian, ν = nu_oprobit) drives a Metropolis-Hastings accept/reject.
+
+Two deliberate TPU-first departures from the C++:
+
+* The gradient and Hessian of the penalized likelihood are obtained by
+  automatic differentiation of a numerically stable log-interval
+  probability (log_ndtr-based — replacing the hand-derived
+  erfcx-formulas of OProbitSampler.hpp:111-236).  Identical math,
+  machine-checked derivatives.
+* The Newton loop and line search run inside jit via lax.while_loop
+  with NaN-guarded step halving (mirroring the rejection semantics of
+  OProbitSampler.hpp:289-357,367-371).
+
+The latent-response refresh z ~ TN(score, 1; [γ_{y-1}, γ_y]) is a fully
+vectorized truncated-normal draw (OProbitSampler.hpp:238-272).
 """
 
 from __future__ import annotations
 
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import log_ndtr
+
+from .special import safe_ldiff, truncated_std_normal_two_sided
+
+
+def alpha_to_gamma(alpha):
+    """γ₀ = α₀; γᵢ = γᵢ₋₁ + exp αᵢ (OProbitSampler.hpp:95-101)."""
+    steps = jnp.concatenate([alpha[:1], jnp.exp(alpha[1:])])
+    return jnp.cumsum(steps)
+
+
+def gamma_to_alpha(gamma):
+    return jnp.concatenate([gamma[:1], jnp.log(jnp.diff(gamma))])
+
+
+def _interval_logprob(lower, upper, lower_inf, upper_inf):
+    """log P(lower < N(0,1) < upper) with possibly infinite bounds.
+
+    Inactive branches receive sanitized finite arguments so reverse-mode
+    gradients stay NaN-free (the safe-where pattern).
+    """
+    low_s = jnp.where(lower_inf, upper - 1.0, lower)
+    up_s = jnp.where(upper_inf, low_s + 1.0, upper)
+    both = safe_ldiff(low_s, up_s)
+    lo_only = log_ndtr(up_s)  # lower = -inf
+    hi_only = log_ndtr(-low_s)  # upper = +inf
+    return jnp.where(lower_inf, lo_only, jnp.where(upper_inf, hi_only, both))
+
+
+def make_objective(score, y, n_class: int, reg: float):
+    """f(α) = −[Σᵢ log P(γ_{yᵢ-1} < zᵢ < γ_{yᵢ} | score) − ½ reg ‖α‖²].
+
+    The per-row bounds follow OProbitSampler.hpp:402-413: class 0 uses
+    the left CDF at γ₀ − s, class K−1 the right tail at γ_{K-2} − s.
+    """
+    y = y.astype(jnp.int32)
+    lower_inf = y == 0
+    upper_inf = y == (n_class - 1)
+    yl = jnp.clip(y - 1, 0, n_class - 2)
+    yu = jnp.clip(y, 0, n_class - 2)
+
+    def f(alpha):
+        gamma = alpha_to_gamma(alpha)
+        lower = gamma[yl] - score
+        upper = gamma[yu] - score
+        ll = jnp.sum(_interval_logprob(lower, upper, lower_inf, upper_inf))
+        ll = ll - 0.5 * reg * jnp.sum(alpha * alpha)
+        return -ll
+
+    return f
+
+
+def _newton_minimize(f, alpha0, max_iter=100, max_halvings=30,
+                     epsilon=1e-5, epsilon_rel=1e-5, delta=1e-5):
+    """Damped Newton with backtracking, jit-compatible.
+
+    Mirrors ``find_minimum`` (OProbitSampler.hpp:289-357): Cholesky
+    Newton direction, step-halving line search with slack ``delta``,
+    termination on gradient norm (absolute/relative) or stagnation,
+    NaN-guarded (a NaN trial is treated as a rejected step).
+    """
+    grad_f = jax.grad(f)
+    hess_f = jax.hessian(f)
+    dtype = alpha0.dtype
+    K1 = alpha0.shape[0]
+
+    def direction(alpha, g):
+        H = hess_f(alpha)
+        L = jnp.linalg.cholesky(H)
+        d = -jax.scipy.linalg.cho_solve((L, True), g)
+        bad = jnp.any(jnp.isnan(d))
+        return jnp.where(bad, -g, d)
+
+    def line_search(alpha, fval, d):
+        def body(carry):
+            step, _, _, halvings = carry
+            cand = alpha + step * d
+            fc = f(cand)
+            ok = jnp.logical_and(
+                jnp.logical_not(jnp.isnan(fc)),
+                fc < fval * (1.0 + delta) + 1e-12,
+            )
+            return (
+                jnp.where(ok, step, step * 0.5),
+                ok,
+                fc,
+                halvings + 1,
+            )
+
+        def cond(carry):
+            _, ok, _, halvings = carry
+            return jnp.logical_and(
+                jnp.logical_not(ok), halvings < max_halvings
+            )
+
+        step, ok, fc, _ = lax.while_loop(
+            cond, body, (jnp.asarray(1.0, dtype), jnp.asarray(False),
+                         fval, 0)
+        )
+        new_alpha = jnp.where(ok, alpha + step * d, alpha)
+        new_f = jnp.where(ok, fc, fval)
+        return new_alpha, new_f, ok
+
+    def body(carry):
+        alpha, fval, it, _ = carry
+        g = grad_f(alpha)
+        d = direction(alpha, g)
+        new_alpha, new_f, ok = line_search(alpha, fval, d)
+        gnorm = jnp.linalg.norm(grad_f(new_alpha))
+        anorm = jnp.linalg.norm(new_alpha)
+        converged = jnp.logical_or(
+            gnorm < epsilon, gnorm < epsilon_rel * anorm
+        )
+        stalled = jnp.abs(new_f - fval) <= delta * jnp.maximum(
+            jnp.maximum(jnp.abs(new_f), jnp.abs(fval)), 1.0
+        )
+        done = jnp.logical_or(
+            converged, jnp.logical_or(stalled, jnp.logical_not(ok))
+        )
+        return new_alpha, new_f, it + 1, done
+
+    def cond(carry):
+        _, _, it, done = carry
+        return jnp.logical_and(jnp.logical_not(done), it < max_iter)
+
+    alpha, fval, _, _ = lax.while_loop(
+        cond, body,
+        (alpha0, f(alpha0), 0, jnp.asarray(False)),
+    )
+    H = hess_f(alpha)
+    return alpha, H
+
+
+def _sample_mvt(key, H, nu: float, dtype):
+    """x ~ multivariate-t(0, H^{-1}, ν) (OProbitSampler.hpp:57-72)."""
+    k_n, k_g = jax.random.split(key)
+    z = jax.random.normal(k_n, (H.shape[0],), dtype=dtype)
+    L = jnp.linalg.cholesky(H)
+    x = jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+    chi = jax.random.gamma(k_g, jnp.asarray(nu / 2.0, dtype), dtype=dtype)
+    return x / jnp.sqrt(chi * 2.0 / nu)
+
+
+def _log_p_mvt(H, mu, nu: float, x):
+    """Unnormalized mvt log-density (OProbitSampler.hpp:51-55)."""
+    d = x - mu
+    q = d @ (H @ d)
+    return jnp.log1p(q / nu) * (-nu - H.shape[0]) / 2.0
+
+
+@partial(jax.jit, static_argnames=("n_class", "reg", "nu"))
+def oprobit_mh_step(key, score, y, alpha_now, accept_count,
+                    n_class: int, reg: float, nu: float):
+    """One Metropolis-Hastings cutpoint update
+    (OProbitSampler.hpp:359-387)."""
+    dtype = score.dtype
+    f = make_objective(score, y, n_class, reg)
+    alpha_hat, H = _newton_minimize(f, alpha_now)
+
+    k_prop, k_u = jax.random.split(key)
+    cand = alpha_hat + _sample_mvt(k_prop, H, nu, dtype)
+    ll_cand = -f(cand)
+    ll_old = -f(alpha_now)
+    lq_cand = _log_p_mvt(H, alpha_hat, nu, cand)
+    lq_old = _log_p_mvt(H, alpha_hat, nu, alpha_now)
+    log_ratio = ll_cand - lq_cand - ll_old + lq_old
+    u = jax.random.uniform(k_u, (), dtype=dtype)
+    accept = jnp.logical_and(
+        jnp.log(u) < log_ratio, jnp.logical_not(jnp.isnan(log_ratio))
+    )
+    alpha_new = jnp.where(accept, cand, alpha_now)
+    return alpha_new, accept_count + accept.astype(jnp.int32)
+
+
+def sample_z_residual(key, score, y, gamma, n_class: int):
+    """e = score − z with z ~ TN(score, 1; [γ_{y-1}, γ_y])
+    (OProbitSampler.hpp:238-272).  Infinite edge bounds flow through the
+    two-sided log-space inverse-CDF sampler naturally."""
+    dtype = score.dtype
+    y = y.astype(jnp.int32)
+    inf = jnp.asarray(jnp.inf, dtype)
+    gpad_lo = jnp.concatenate([jnp.array([-jnp.inf], dtype), gamma])
+    gpad_hi = jnp.concatenate([gamma, jnp.array([jnp.inf], dtype)])
+    lower = gpad_lo[y] - score
+    upper = gpad_hi[y] - score
+    t = truncated_std_normal_two_sided(key, lower, upper)
+    # z = score + t  =>  e = score − z = −t
+    return -t
+
 
 def initialize_oprobit_state(plan, state, y_int, cfg, key):
-    raise NotImplementedError(
-        "ordered probit is implemented in a later milestone"
+    """Reference initialize_e for ORDERED (FMTrainer.hpp:99-119):
+    Newton MAP for the cutpoints from the initial scores, then draw the
+    latent responses."""
+    import dataclasses as _dc
+
+    from .forward import predict_score
+
+    @partial(jax.jit, static_argnames=("n_class", "reg", "nu"))
+    def init(state, y, key, n_class, reg, nu):
+        score = predict_score(plan, state.w0, state.w, state.V)
+        f = make_objective(score, y, n_class, reg)
+        alpha0 = jnp.zeros((n_class - 1,), score.dtype)
+        alpha_hat, _ = _newton_minimize(f, alpha0)
+        gamma = alpha_to_gamma(alpha_hat)
+        e = sample_z_residual(key, score, y, gamma, n_class)
+        return alpha_hat, gamma, e
+
+    alpha_hat, gamma, e = init(
+        state, y_int, key, cfg.n_class, cfg.reg_0, float(cfg.nu_oprobit)
+    )
+    return _dc.replace(
+        state,
+        e=e,
+        cutpoints=gamma,
+        oprobit_alpha=alpha_hat,
+        n_mh_accept=jnp.zeros((), jnp.int32),
     )

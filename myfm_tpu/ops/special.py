@@ -49,7 +49,7 @@ def safe_ldiff(a, b):
     b2 = jnp.where(flip, -a, b)
     la = log_ndtr(a2)
     lb = log_ndtr(b2)
-    diff = jnp.clip(la - lb, a_max=-1e-12)
+    diff = jnp.clip(la - lb, max=-1e-12)
     return lb + jnp.log1p(-jnp.exp(diff))
 
 
@@ -109,7 +109,7 @@ def truncated_std_normal_two_sided(key, lower, upper):
     )
     # log-sf of sample: log( sf_hi + v * (sf_lo - sf_hi) )
     #                 = lsf_lo + log( r + v (1 - r) ), r = exp(lsf_hi - lsf_lo)
-    r = jnp.exp(jnp.clip(lsf_hi - lsf_lo, a_max=0.0))
+    r = jnp.exp(jnp.clip(lsf_hi - lsf_lo, max=0.0))
     log_sf = lsf_lo + jnp.log(r + v * (1.0 - r))
     t = _inv_survival(log_sf, dtype)
     t = jnp.clip(t, lo, hi)
