@@ -98,6 +98,26 @@ def test_fit_wo_flags(middle_data):
     assert np.any(fm.V_samples != 0)
 
 
+def test_regression_callback_accumulation(middle_data):
+    """Callback running mean == predictor average over kept samples
+    (reference contract, test_fit.py:39)."""
+    from myfm_tpu.utils.callbacks import RegressionCallback
+
+    rng = np.random.RandomState(3)
+    X, score = middle_data
+    y = score + rng.normal(size=score.shape)
+    cb = RegressionCallback(20, X, y)
+    fm = MyFMGibbsRegressor(2).fit(
+        X, y, n_iter=20, n_kept_samples=20, callback=cb
+    )
+    np.testing.assert_allclose(
+        fm.predict(X), cb.predictions / 20, rtol=2e-3, atol=2e-3
+    )
+    assert len(cb.result_trace) == 20
+    assert np.isnan(cb.result_trace[0]["rmse_all_but_5"])
+    assert not np.isnan(cb.result_trace[-1]["rmse_all_but_5"])
+
+
 def test_early_stop(middle_data):
     X, score = middle_data
     calls = []
