@@ -161,12 +161,20 @@ jax.tree_util.register_dataclass(
 
 @dataclasses.dataclass(frozen=True)
 class DesignPlan:
-    """The full compiled design: one main table + any relation blocks."""
+    """The full compiled design: one main table + any relation blocks.
+
+    ``row_mask`` is only present on sharded plans whose row count was
+    padded to a multiple of the device count: 1.0 for real rows, 0.0
+    for padding (padding rows carry no COO entries and their mapper
+    points at a dropped segment, so the mask is consulted only by the
+    residual refresh and the row-count statistics).
+    """
 
     main: TablePlan
     blocks: Tuple[BlockPlan, ...]
     group_index: jax.Array  # [F] int32
     group_counts: jax.Array  # [G] float
+    row_mask: Optional[jax.Array]  # [N] or None
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_features: int = dataclasses.field(metadata=dict(static=True))
     n_groups: int = dataclasses.field(metadata=dict(static=True))
@@ -174,7 +182,8 @@ class DesignPlan:
 
 jax.tree_util.register_dataclass(
     DesignPlan,
-    data_fields=["main", "blocks", "group_index", "group_counts"],
+    data_fields=["main", "blocks", "group_index", "group_counts",
+                 "row_mask"],
     meta_fields=["n_rows", "n_features", "n_groups"],
 )
 
@@ -466,6 +475,7 @@ def compile_design(
         blocks=tuple(compiled_blocks),
         group_index=jnp.asarray(grouping),
         group_counts=jnp.asarray(group_counts),
+        row_mask=None,
         n_rows=n_rows,
         n_features=n_features,
         n_groups=int(n_groups),

@@ -46,7 +46,15 @@ TASK_ORDERED = "ordered"
 
 @dataclasses.dataclass(frozen=True)
 class GibbsConfig:
-    """Static learning configuration (reference FMLearningConfig.hpp:12-91)."""
+    """Static learning configuration (reference FMLearningConfig.hpp:12-91).
+
+    ``axis_name``/``n_devices`` configure SPMD execution: when set, the
+    sweep runs inside ``shard_map`` over a row-sharded mesh — per-row
+    state (e, q, COO entries) is local to each device, per-feature
+    statistics are ``psum``-reduced over the axis, and weight draws are
+    computed identically on every device from the reduced statistics
+    (replicated V/w, zero weight traffic).
+    """
 
     task: str = TASK_REGRESSION
     alpha_0: float = 1.0
@@ -59,6 +67,8 @@ class GibbsConfig:
     nu_oprobit: int = 5
     cutpoint_scale: float = 10.0
     n_class: int = 0
+    axis_name: Optional[str] = None
+    n_devices: int = 1
 
 
 @dataclasses.dataclass
@@ -92,14 +102,19 @@ def _draw_normal(quad, lin, noise):
     return lin / quad + noise * lax.rsqrt(quad)
 
 
+def _psum(x, axis):
+    """All-reduce over the SPMD data axis (identity single-chip)."""
+    return x if axis is None else lax.psum(x, axis)
+
+
 # ---------------------------------------------------------------------------
 # Hyperparameter conditionals
 # ---------------------------------------------------------------------------
 
 
-def draw_alpha(key, e, cfg: GibbsConfig, n_rows: int, dtype):
+def draw_alpha(key, e, cfg: GibbsConfig, n_rows: int, dtype, axis=None):
     """α | e ~ Gamma((α₀+n)/2, rate=(β₀+Σe²)/2) (FMTrainer.hpp:127-145)."""
-    e2 = jnp.sum(e * e)
+    e2 = _psum(jnp.sum(e * e), axis)
     shape = jnp.asarray((cfg.alpha_0 + n_rows) / 2.0, dtype)
     rate = (jnp.asarray(cfg.beta_0, dtype) + e2) / 2.0
     return jax.random.gamma(key, shape, dtype=dtype) / rate
@@ -138,11 +153,11 @@ def draw_mu(key, weight, lam, group_index, group_counts, cfg: GibbsConfig):
     return _draw_normal(quad, lin, noise)
 
 
-def draw_w0(key, e, w0, alpha, cfg: GibbsConfig, n_rows: int):
+def draw_w0(key, e, w0, alpha, cfg: GibbsConfig, n_rows: int, axis=None):
     """w0 | e ~ N(·) with prior precision reg₀ (FMTrainer.hpp:218-229)."""
     dtype = e.dtype
     quad = alpha * n_rows + jnp.asarray(cfg.reg_0, dtype)
-    lin = alpha * (n_rows * w0 - jnp.sum(e))
+    lin = alpha * (n_rows * w0 - _psum(jnp.sum(e), axis))
     noise = jax.random.normal(key, (), dtype=dtype)
     w0_new = _draw_normal(quad, lin, noise)
     return w0_new, e + (w0_new - w0)
@@ -159,14 +174,14 @@ def _per_feature_prior(c: ColorPlan, group_index, lam_col, mu_col):
 
 
 def _w_color_main(c: ColorPlan, e, w, alpha, lam_col, mu_col, noise,
-                  group_index):
+                  group_index, axis=None):
     n_seg = c.feat.shape[0]
     lam, mu = _per_feature_prior(c, group_index, lam_col, mu_col)
     w_old = w[c.feat]
-    xe = jax.ops.segment_sum(
+    xe = _psum(jax.ops.segment_sum(
         c.vals * e[c.rows], c.seg, num_segments=n_seg,
         indices_are_sorted=True,
-    )
+    ), axis)
     quad = alpha * c.sx2 + lam
     lin = alpha * (c.sx2 * w_old - xe) + lam * mu
     w_new = _draw_normal(quad, lin, noise[c.feat])
@@ -177,11 +192,13 @@ def _w_color_main(c: ColorPlan, e, w, alpha, lam_col, mu_col, noise,
 
 
 def _w_color_block(b: BlockPlan, c: ColorPlan, e, w, alpha, lam_col, mu_col,
-                   noise, group_index):
+                   noise, group_index, axis=None):
     n_seg = c.feat.shape[0]
     lam, mu = _per_feature_prior(c, group_index, lam_col, mu_col)
     w_old = w[c.feat]
-    e1 = jax.ops.segment_sum(e, b.mapper, num_segments=b.block_size)
+    e1 = _psum(
+        jax.ops.segment_sum(e, b.mapper, num_segments=b.block_size), axis
+    )
     xe = jax.ops.segment_sum(
         c.vals * e1[c.rows], c.seg, num_segments=n_seg,
         indices_are_sorted=True,
@@ -205,7 +222,7 @@ def _w_color_block(b: BlockPlan, c: ColorPlan, e, w, alpha, lam_col, mu_col,
 
 
 def _V_color_main(c: ColorPlan, e, q, v, alpha, lam_col, mu_col, noise,
-                  group_index):
+                  group_index, axis=None):
     """Fused conditional draw for a row-disjoint main-table feature set.
 
     Exactly the serial conditional of FMTrainer.hpp:343-376: with
@@ -218,12 +235,12 @@ def _V_color_main(c: ColorPlan, e, q, v, alpha, lam_col, mu_col, noise,
     ev = e[c.rows]
     qv = q[c.rows]
     h = c.vals * (qv - c.vals * v_old[c.seg])
-    sq = jax.ops.segment_sum(
+    sq = _psum(jax.ops.segment_sum(
         h * h, c.seg, num_segments=n_seg, indices_are_sorted=True
-    )
-    lin = jax.ops.segment_sum(
+    ), axis)
+    lin = _psum(jax.ops.segment_sum(
         -ev * h, c.seg, num_segments=n_seg, indices_are_sorted=True
-    )
+    ), axis)
     lin = lin + sq * v_old
     quad = alpha * sq + lam
     lin = alpha * lin + lam * mu
@@ -236,7 +253,7 @@ def _V_color_main(c: ColorPlan, e, q, v, alpha, lam_col, mu_col, noise,
 
 
 def _V_color_block(b: BlockPlan, c: ColorPlan, e, q, v, alpha, lam_col,
-                   mu_col, noise, group_index):
+                   mu_col, noise, group_index, axis=None):
     """Block-feature draw from O(n_rows) segment aggregates.
 
     For block feature i with block-row value x at block row m, the
@@ -252,10 +269,10 @@ def _V_color_block(b: BlockPlan, c: ColorPlan, e, q, v, alpha, lam_col,
     lam, mu = _per_feature_prior(c, group_index, lam_col, mu_col)
     v_old = v[c.feat]
 
-    E1 = jax.ops.segment_sum(e, b.mapper, num_segments=B)
-    Q1 = jax.ops.segment_sum(q, b.mapper, num_segments=B)
-    Q2 = jax.ops.segment_sum(q * q, b.mapper, num_segments=B)
-    EQ = jax.ops.segment_sum(e * q, b.mapper, num_segments=B)
+    E1 = _psum(jax.ops.segment_sum(e, b.mapper, num_segments=B), axis)
+    Q1 = _psum(jax.ops.segment_sum(q, b.mapper, num_segments=B), axis)
+    Q2 = _psum(jax.ops.segment_sum(q * q, b.mapper, num_segments=B), axis)
+    EQ = _psum(jax.ops.segment_sum(e * q, b.mapper, num_segments=B), axis)
     card = b.cardinality
 
     x = c.vals
@@ -308,33 +325,39 @@ def _scan_colors(stack, carry, step):
     return carry
 
 
-def sweep_w(plan: DesignPlan, e, w, alpha, lambda_w, mu_w, key):
+def sweep_w(plan: DesignPlan, e, w, alpha, lambda_w, mu_w, key, axis=None):
     dtype = e.dtype
     noise = jax.random.normal(key, (plan.n_features,), dtype=dtype)
     g = plan.group_index
 
     for c in plan.main.colors:
-        e, w = _w_color_main(c, e, w, alpha, lambda_w, mu_w, noise, g)
+        e, w = _w_color_main(
+            c, e, w, alpha, lambda_w, mu_w, noise, g, axis
+        )
     if plan.main.color_stack is not None:
         def step(carry, c):
             e_, w_ = carry
-            return _w_color_main(c, e_, w_, alpha, lambda_w, mu_w, noise, g)
+            return _w_color_main(
+                c, e_, w_, alpha, lambda_w, mu_w, noise, g, axis
+            )
         e, w = _scan_colors(plan.main.color_stack, (e, w), step)
 
     for b in plan.blocks:
         for c in b.colors:
-            e, w = _w_color_block(b, c, e, w, alpha, lambda_w, mu_w, noise, g)
+            e, w = _w_color_block(
+                b, c, e, w, alpha, lambda_w, mu_w, noise, g, axis
+            )
         if b.color_stack is not None:
             def step(carry, c, b=b):
                 e_, w_ = carry
                 return _w_color_block(
-                    b, c, e_, w_, alpha, lambda_w, mu_w, noise, g
+                    b, c, e_, w_, alpha, lambda_w, mu_w, noise, g, axis
                 )
             e, w = _scan_colors(b.color_stack, (e, w), step)
     return w, e
 
 
-def sweep_V(plan: DesignPlan, e, V, alpha, lambda_V, mu_V, key):
+def sweep_V(plan: DesignPlan, e, V, alpha, lambda_V, mu_V, key, axis=None):
     rank = V.shape[1]
     if rank == 0:
         return V, e
@@ -349,13 +372,13 @@ def sweep_V(plan: DesignPlan, e, V, alpha, lambda_V, mu_V, key):
 
         for c in plan.main.colors:
             e, q, v_col = _V_color_main(
-                c, e, q, v_col, alpha, lam_r, mu_r, noise, g
+                c, e, q, v_col, alpha, lam_r, mu_r, noise, g, axis
             )
         if plan.main.color_stack is not None:
             def step(carry, c):
                 return _V_color_main(
                     c, carry[0], carry[1], carry[2], alpha, lam_r, mu_r,
-                    noise, g,
+                    noise, g, axis,
                 )
             e, q, v_col = _scan_colors(
                 plan.main.color_stack, (e, q, v_col), step
@@ -364,13 +387,13 @@ def sweep_V(plan: DesignPlan, e, V, alpha, lambda_V, mu_V, key):
         for b in plan.blocks:
             for c in b.colors:
                 e, q, v_col = _V_color_block(
-                    b, c, e, q, v_col, alpha, lam_r, mu_r, noise, g
+                    b, c, e, q, v_col, alpha, lam_r, mu_r, noise, g, axis
                 )
             if b.color_stack is not None:
                 def step(carry, c, b=b):
                     return _V_color_block(
                         b, c, carry[0], carry[1], carry[2], alpha, lam_r,
-                        mu_r, noise, g,
+                        mu_r, noise, g, axis,
                     )
                 e, q, v_col = _scan_colors(b.color_stack, (e, q, v_col), step)
         return e, v_col
@@ -392,11 +415,30 @@ def refresh_e(plan: DesignPlan, state: GibbsState, w0, w, V, y, key,
     Returns (e, cutpoints, oprobit_alpha, n_mh_accept).
     """
     score = predict_score(plan, w0, w, V)
+
+    def _mask(e):
+        return e if plan.row_mask is None else e * plan.row_mask
+
     if cfg.task == TASK_REGRESSION:
-        return score - y, None, None, None
+        return _mask(score - y), None, None, None
     elif cfg.task == TASK_CLASSIFICATION:
-        t = truncated_std_normal_onesided(key, -score, y > 0)
-        return -t, None, None, None
+        if cfg.axis_name is None:
+            t = truncated_std_normal_onesided(key, -score, y > 0)
+        else:
+            # draw the global uniform vector and slice this shard's
+            # chunk: all shards stay decorrelated AND the sharded chain
+            # matches the single-chip chain sample-for-sample.
+            dtype = score.dtype
+            n_local = score.shape[0]
+            tiny = jnp.finfo(dtype).tiny
+            u_global = jax.random.uniform(
+                key, (n_local * cfg.n_devices,), dtype=dtype,
+                minval=tiny, maxval=1.0,
+            )
+            idx = lax.axis_index(cfg.axis_name)
+            u = lax.dynamic_slice(u_global, (idx * n_local,), (n_local,))
+            t = truncated_std_normal_onesided(key, -score, y > 0, u=u)
+        return _mask(-t), None, None, None
     elif cfg.task == TASK_ORDERED:
         from .oprobit import (
             alpha_to_gamma,
@@ -411,7 +453,7 @@ def refresh_e(plan: DesignPlan, state: GibbsState, w0, w, V, y, key,
         )
         gamma = alpha_to_gamma(alpha_new)
         e = sample_z_residual(k_z, score, y, gamma, cfg.n_class)
-        return e, gamma, alpha_new, acc
+        return _mask(e), gamma, alpha_new, acc
     raise NotImplementedError(f"refresh_e for task {cfg.task}")
 
 
@@ -419,20 +461,26 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
                 cfg: GibbsConfig) -> GibbsState:
     """One full Gibbs iteration (BaseFMTrainer.hpp:135-152 order)."""
     dtype = state.e.dtype
-    n = plan.n_rows
+    axis = cfg.axis_name
+    # plan.n_rows is the per-device row count under shard_map; padded
+    # rows (row_mask == 0) are excluded from the row-count statistics.
+    if plan.row_mask is not None:
+        n = _psum(jnp.sum(plan.row_mask), axis)
+    else:
+        n = plan.n_rows * cfg.n_devices
     (k_alpha, k_w0, k_lw, k_mw, k_w, k_lv, k_mv, k_v, k_e) = jax.random.split(
         key, 9
     )
 
     if cfg.task == TASK_REGRESSION:
-        alpha = draw_alpha(k_alpha, state.e, cfg, n, dtype)
+        alpha = draw_alpha(k_alpha, state.e, cfg, n, dtype, axis)
     else:
         alpha = jnp.asarray(1.0, dtype)
 
     e = state.e
     w0 = state.w0
     if cfg.fit_w0:
-        w0, e = draw_w0(k_w0, e, w0, alpha, cfg, n)
+        w0, e = draw_w0(k_w0, e, w0, alpha, cfg, n, axis)
 
     lambda_w = draw_lambda(
         k_lw, state.w, state.mu_w, plan.group_index, plan.group_counts, cfg
@@ -442,7 +490,7 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
     )
     w = state.w
     if cfg.fit_linear:
-        w, e = sweep_w(plan, e, w, alpha, lambda_w, mu_w, k_w)
+        w, e = sweep_w(plan, e, w, alpha, lambda_w, mu_w, k_w, axis)
 
     lambda_V = draw_lambda(
         k_lv, state.V, state.mu_V, plan.group_index, plan.group_counts, cfg
@@ -450,7 +498,7 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
     mu_V = draw_mu(
         k_mv, state.V, lambda_V, plan.group_index, plan.group_counts, cfg
     )
-    V, e = sweep_V(plan, e, state.V, alpha, lambda_V, mu_V, k_v)
+    V, e = sweep_V(plan, e, state.V, alpha, lambda_V, mu_V, k_v, axis)
 
     e, cutpoints, oprobit_alpha, n_mh_accept = refresh_e(
         plan, state, w0, w, V, y, k_e, cfg

@@ -81,10 +81,23 @@ def truncated_std_normal_lower(key, lower, shape=None, dtype=None):
     return jnp.maximum(t, lower)
 
 
-def truncated_std_normal_onesided(key, bound, greater: jax.Array):
+def truncated_std_normal_lower_from_u(u, lower):
+    """Like truncated_std_normal_lower, from pre-drawn U(0,1) samples
+    (used by the SPMD path, which slices a globally drawn uniform vector
+    so sharded chains match the single-chip chain bit-for-bit)."""
+    dtype = lower.dtype
+    log_sf = jnp.log(u) + log_ndtr(-lower)
+    t = _inv_survival(log_sf, dtype)
+    return jnp.maximum(t, lower)
+
+
+def truncated_std_normal_onesided(key, bound, greater: jax.Array, u=None):
     """t ~ N(0,1) | (t >= bound) where greater, else (t <= bound)."""
     sign = jnp.where(greater, 1.0, -1.0).astype(bound.dtype)
-    t = truncated_std_normal_lower(key, sign * bound)
+    if u is None:
+        t = truncated_std_normal_lower(key, sign * bound)
+    else:
+        t = truncated_std_normal_lower_from_u(u, sign * bound)
     return sign * t
 
 

@@ -2,7 +2,7 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths
 # are exercised without TPU hardware.  Must be set before jax imports.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: driver env may preset TPU
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
