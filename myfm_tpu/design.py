@@ -234,6 +234,25 @@ def _serial_colors(n_cols: int) -> List[np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+def _take_segments(
+    indptr: np.ndarray, feats: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized multi-slice gather: flat nnz indices of the given
+    columns (in column order) plus per-column counts — no Python loop."""
+    counts = (indptr[feats + 1] - indptr[feats]).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), counts
+    starts = indptr[feats].astype(np.int64)
+    offs = np.zeros(len(feats), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offs[1:])
+    idx = (
+        np.arange(total, dtype=np.int64)
+        + np.repeat(starts - offs, counts)
+    )
+    return idx, counts
+
+
 def _build_color_arrays(
     csc: sps.csc_matrix,
     feats_local: np.ndarray,
@@ -245,7 +264,7 @@ def _build_color_arrays(
     pf: Optional[int] = None,
 ) -> ColorPlan:
     indptr, indices, data = csc.indptr, csc.indices, csc.data
-    counts = indptr[feats_local + 1] - indptr[feats_local]
+    idx, counts = _take_segments(indptr, feats_local)
     nnz = int(counts.sum())
     n_feat = len(feats_local)
     Pe = pe if pe is not None else _pad_to(nnz)
@@ -254,14 +273,11 @@ def _build_color_arrays(
     rows = np.zeros(Pe, dtype=np.int32)
     vals = np.zeros(Pe, dtype=dtype)
     seg = np.full(Pe, n_feat, dtype=np.int32)
-    cursor = 0
-    for k, f in enumerate(feats_local):
-        s, e = indptr[f], indptr[f + 1]
-        m = e - s
-        rows[cursor : cursor + m] = indices[s:e]
-        vals[cursor : cursor + m] = data[s:e]
-        seg[cursor : cursor + m] = k
-        cursor += m
+    rows[:nnz] = indices[idx]
+    vals[:nnz] = data[idx]
+    seg[:nnz] = np.repeat(
+        np.arange(n_feat, dtype=np.int32), counts
+    )
 
     feat = np.full(Pf, n_features_total, dtype=np.int32)
     feat[:n_feat] = feats_local + col_offset

@@ -17,6 +17,11 @@ from typing import Tuple
 
 import jax
 
+# The JAX_PLATFORMS env var is ignored when a site config / PJRT plugin
+# presets jax_platforms (this image defaults it to "axon,cpu" and a
+# single real TPU chip behind a slow tunnel) — force CPU explicitly so
+# tests compile locally on the virtual 8-device mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # allow float64 oracle tests
 
 import numpy as np
