@@ -1,0 +1,35 @@
+"""Ordinal-probit toy example (counterpart of reference
+examples/oprobit_example.py): a rank-0 cumulative-probit regression on
+a 1-D latent score with known cutpoints, the setup statsmodels'
+``MCMCoprobit`` is typically benchmarked on.  The reference reports
+~40x speedup over MCMCpack at 11k iterations; here the whole chain is
+one jitted XLA program."""
+
+import _path  # noqa: F401  (repo-root import shim)
+
+import time
+
+import numpy as np
+import scipy.sparse as sps
+
+from myfm_tpu import MyFMOrderedProbit
+
+rng = np.random.RandomState(0)
+N = 2000
+x = rng.normal(size=N)
+z = 1.2 * x + rng.normal(size=N)
+cutpoints = [-0.5, 0.5, 1.5]
+y = np.digitize(z, cutpoints)
+
+X = sps.csr_matrix(x[:, None])
+fm = MyFMOrderedProbit(rank=0, random_seed=42)
+t0 = time.time()
+fm.fit(X, y, n_iter=200, n_kept_samples=100)
+elapsed = time.time() - t0
+
+probs = fm.predict_proba(X)
+acc = float((probs.argmax(axis=1) == y).mean())
+print(f"fit 200 iters in {elapsed:.1f}s; accuracy={acc:.3f}")
+print("posterior-mean cutpoints:",
+      np.asarray(fm.cutpoint_samples).mean(axis=0),
+      "(true:", cutpoints, ")")
