@@ -73,54 +73,63 @@ def main():
     n_timed = 20
 
     import jax
+    import jax.numpy as jnp
 
-    from myfm_tpu.design import compile_design
+    from myfm_tpu.design_categorical import try_compile_categorical
     from myfm_tpu.ops.gibbs import GibbsConfig
-    from myfm_tpu.trainer import GibbsTrainer
+    from myfm_tpu.trainer import CategoricalGibbsTrainer
 
     log(f"jax devices: {jax.devices()}")
     X, blocks, y, grouping = build_problem(n_rows, rank)
 
     t0 = time.time()
-    plan = compile_design(
-        X, blocks, grouping=np.asarray(grouping, dtype=np.int32),
-        dtype=np.float32,
+    plan = try_compile_categorical(
+        X, blocks, np.asarray(grouping, dtype=np.int32), None,
+        np.float32, rank=rank,
     )
+    assert plan is not None, "flagship workload must hit the fast path"
     log(
         f"design compiled in {time.time()-t0:.1f}s "
-        f"(F={plan.n_features}, colors="
-        f"{len(plan.main.colors)}+{[len(b.colors) for b in plan.blocks]})"
+        f"(F={plan.n_features}, tables="
+        f"{[(t.n_cols, t.n_tiles, t.tile_rows, t.tile_entities) for t in plan.tables]})"
     )
 
     cfg = GibbsConfig(task="regression")
-    trainer = GibbsTrainer(
+    trainer = CategoricalGibbsTrainer(
         plan, y, cfg, rank=rank, init_stdev=0.1, random_seed=42,
         dtype=np.float32,
     )
     master = jax.random.PRNGKey(42)
     t0 = time.time()
     state = trainer._initialize(jax.random.fold_in(master, 0))
-    jax.block_until_ready(state.e)
+    _ = float(jnp.sum(state.core.e))
     log(f"init in {time.time()-t0:.1f}s")
     # warmup (compile)
     t0 = time.time()
     state = trainer._sweep(
-        plan, state, trainer.y, jax.random.fold_in(master, 1), cfg
+        plan, state, trainer.y, trainer.y_tiles,
+        jax.random.fold_in(master, 1), cfg, trainer._interpret,
     )
-    jax.block_until_ready(state.e)
+    _ = float(jnp.sum(state.core.e))
     log(f"first sweep (compile) in {time.time()-t0:.1f}s")
 
+    # fetch a scalar per sweep: block_until_ready through the axon
+    # tunnel returns early on in-flight buffers, and long unfetched
+    # async chains degrade pathologically — the per-sweep sync matches
+    # the real training loop (which harvests samples every iteration)
     t0 = time.time()
+    checksum = 0.0
     for it in range(2, 2 + n_timed):
         state = trainer._sweep(
-            plan, state, trainer.y, jax.random.fold_in(master, it), cfg
+            plan, state, trainer.y, trainer.y_tiles,
+            jax.random.fold_in(master, it), cfg, trainer._interpret,
         )
-    jax.block_until_ready(state.e)
+        checksum = float(state.core.alpha)
     dt = time.time() - t0
     sweeps_per_sec = n_timed / dt
     log(
         f"{n_timed} sweeps in {dt:.2f}s -> {sweeps_per_sec:.2f} sweeps/s; "
-        f"alpha={float(state.alpha):.3f}"
+        f"alpha={checksum:.3f}"
     )
 
     print(

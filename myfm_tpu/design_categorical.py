@@ -1,0 +1,469 @@
+"""Design compilation for the *categorical fast path*.
+
+A table (the main table or a RelationBlock, viewed through its mapper)
+is **categorical** when every original row has exactly one active
+feature with value 1.0 — the dominant structure of factorization-
+machine workloads (user id, item id, date bucket; the reference's
+ML-10M protocol is three such tables, examples/ml-10m-regression.py).
+
+For categorical tables the Gibbs sweep admits an *entity-space*
+formulation that avoids TPU scalar scatter/gathers entirely (measured
+at ~8-17 ms per op at N=1e6 on v5e, ~1000x off memory speed-of-light):
+
+* rows are pre-sorted by entity (feature) at design time and packed
+  into tiles of ``T`` rows with at most ``S`` distinct entities per
+  tile (entities may split across tiles — partial sums add up);
+* per-entity sufficient statistics (Gram matrices of ``[1 | e | φ]``
+  rows) are computed by batched tile matmuls on the MXU
+  (ops/pallas_gram.py) and combined with a cumulative-sum trick —
+  no scatter;
+* the per-coordinate factor scan runs in entity space ([B, R] arrays),
+  touching the [N]-sized state only via a handful of wide row-gathers.
+
+This module computes the static layout arrays; the sweep itself lives
+in ops/categorical.py.  Equivalent role to the reference's
+RelationWiseCache construction (include/myfm/definitions.hpp:54-84),
+re-derived for the TPU memory system.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import sparse as sps
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_TILE_ROWS = 1024  # T (measured sweet spot on v5e at D=34)
+DEFAULT_TILE_ENTITIES = 8  # S
+
+
+# VMEM budget for the Gram kernel's A-matrix scratch (T x S*D f32);
+# the whole kernel footprint is ~2-3x this.
+_A_SCRATCH_BYTES = 4 << 20
+
+
+def _packed_rows(counts: np.ndarray, T: int, S: int) -> int:
+    """Exact padded row count of the greedy packing, computed from the
+    cardinality sequence without materializing the layout."""
+    total = 0
+    row_fill = 0
+    ent_fill = 0
+    for c in counts:
+        c = int(c)
+        if c == 0:
+            continue
+        taken = 0
+        while taken < c:
+            if row_fill >= T or ent_fill >= S:
+                total += T
+                row_fill = 0
+                ent_fill = 0
+            take = min(c - taken, T - row_fill)
+            taken += take
+            row_fill += take
+            ent_fill += 1
+    if row_fill:
+        total += T
+    return total
+
+
+def choose_tiling(counts: np.ndarray, T: int, S: int, rank: int = 32):
+    """Pick (T, S) minimizing pad inflation under the kernel's VMEM
+    budget; returns (T, S, inflation)."""
+    n = max(int(counts.sum()), 1)
+    D = rank + 2
+    cands = [
+        (T, S), (T, 2 * S), (T, 4 * S),
+        (T // 2, 4 * S), (T // 4, 4 * S), (T // 4, 8 * S),
+    ]
+    best = None
+    for Tc, Sc in cands:
+        if Tc * Sc * D * 4 > _A_SCRATCH_BYTES:
+            continue
+        infl = _packed_rows(counts, Tc, Sc) / n
+        if best is None or infl < best[2] - 1e-9:
+            best = (Tc, Sc, infl)
+        if infl <= 1.15:
+            return Tc, Sc, infl
+    if best is None:  # degenerate: very large D — smallest config
+        Tc, Sc = max(T // 4, 128), S
+        return Tc, Sc, _packed_rows(counts, Tc, Sc) / n
+    return best
+
+
+def categorical_mapping(
+    X: sps.csr_matrix,
+    mapper: Optional[np.ndarray] = None,
+) -> Optional[np.ndarray]:
+    """If (X, mapper) encodes a one-hot feature per original row,
+    return ``ent[n]`` = the active *local column* per original row,
+    else None.
+
+    For the main table, ``mapper`` is None and X has n_rows rows.
+    For a RelationBlock, X is the block table and ``mapper`` maps
+    original rows to block rows; the composition must be one-hot.
+    """
+    X = sps.csr_matrix(X)
+    nnz_per_row = np.diff(X.indptr)
+    if not (nnz_per_row == 1).all():
+        return None
+    if not (X.data == 1.0).all():
+        return None
+    col_of_row = X.indices.astype(np.int64)  # [n_local_rows]
+    if mapper is None:
+        return col_of_row
+    return col_of_row[np.asarray(mapper, dtype=np.int64)]
+
+
+@dataclasses.dataclass(frozen=True)
+class CategoricalTable:
+    """Static layout of one categorical table's sorted-tile space.
+
+    ``NT = n_tiles * T`` tile rows.  Pad tile rows have ``src == N``
+    (out-of-range ⇒ gather-with-fill yields zero rows) and carry a
+    zero indicator, so they contribute nothing to any statistic.
+    """
+
+    src: jax.Array  # [NT] int32 — main-order row index (pad = N)
+    slot: jax.Array  # [NT] int32 — local entity slot within tile (< S)
+    ent_of_tile_row: jax.Array  # [NT] int32 — local entity id (pad = B)
+    cont_in: jax.Array  # [K] int32 — tile starts with a continued entity
+    cont_out: jax.Array  # [K] int32 — tile's last entity continues on
+    last_slot: jax.Array  # [K] int32 — slot of the tile's last entity
+    final_part: jax.Array  # [B] int32 — flat (tile*S+slot) of the slot
+    #     holding each entity's complete Gram (K*S = OOB for empty)
+    cardinality: jax.Array  # [B] float — rows per entity
+    ent_main: jax.Array  # [N] int32 — entity id per main-order row
+    noise_feat: jax.Array  # [B] int32 — global feature ids of entities
+    col_offset: int = dataclasses.field(metadata=dict(static=True))
+    n_cols: int = dataclasses.field(metadata=dict(static=True))  # B
+    n_tiles: int = dataclasses.field(metadata=dict(static=True))
+    tile_rows: int = dataclasses.field(metadata=dict(static=True))  # T
+    tile_entities: int = dataclasses.field(metadata=dict(static=True))  # S
+
+
+jax.tree_util.register_dataclass(
+    CategoricalTable,
+    data_fields=[
+        "src", "slot", "ent_of_tile_row", "cont_in", "cont_out",
+        "last_slot", "final_part", "cardinality", "ent_main",
+        "noise_feat",
+    ],
+    meta_fields=[
+        "col_offset", "n_cols", "n_tiles", "tile_rows", "tile_entities",
+    ],
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class CategoricalPlan:
+    """All-categorical design: one CategoricalTable per table, in the
+    reference's table order (main first if non-empty, then blocks).
+
+    ``cross_ent[t][t2]`` maps table t's tile rows to table t2's entity
+    ids (pad rows -> B_{t2}), so each table pass can reconstruct the
+    residual/factor state in its own tile space purely from the small
+    per-entity weight tables — no [N]-sized permutation gathers.
+    """
+
+    tables: Tuple[CategoricalTable, ...]
+    cross_ent: Tuple[Tuple[jax.Array, ...], ...]
+    group_index: jax.Array  # [F] int32
+    group_counts: jax.Array  # [G] float
+    row_mask: Optional[jax.Array]  # [N] float or None
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    n_features: int = dataclasses.field(metadata=dict(static=True))
+    n_groups: int = dataclasses.field(metadata=dict(static=True))
+
+
+jax.tree_util.register_dataclass(
+    CategoricalPlan,
+    data_fields=["tables", "cross_ent", "group_index", "group_counts",
+                 "row_mask"],
+    meta_fields=["n_rows", "n_features", "n_groups"],
+)
+
+
+def _pack_tiles(
+    ent_sorted: np.ndarray, order: np.ndarray, n_entities: int,
+    T: int, S: int,
+):
+    """Pack entity-sorted rows into (T-row, ≤S-entity) tiles.
+
+    Returns (src, slot, ent_of_tile_row, cont_in, cont_out, last_slot,
+    final_part).  Pads use src = N (out of range), ent = n_entities.
+
+    Greedy: walk entities in order, filling the current tile; start a
+    new tile when it is full (T rows) or already holds S entities.
+    Entities longer than the remaining space split across consecutive
+    tiles; a split entity always resumes at slot 0 of the next tile, so
+    the Gram kernel can carry its running sum forward and deposit the
+    complete Gram at the entity's LAST (tile, slot) — recorded in
+    ``final_part`` (= K*S, out of range, for row-less entities).
+    """
+    n = ent_sorted.shape[0]
+    counts = np.bincount(ent_sorted, minlength=n_entities)
+
+    src_chunks: List[np.ndarray] = []
+    slot_chunks: List[np.ndarray] = []
+    ent_chunks: List[np.ndarray] = []
+    tile_first: List[int] = []  # first entity per tile
+    tile_last: List[int] = []  # last entity per tile
+    tile_last_slot: List[int] = []
+    final_tile = np.full(n_entities, -1, dtype=np.int64)
+    final_slot = np.zeros(n_entities, dtype=np.int64)
+
+    row_fill = 0
+    ent_fill = 0
+    cur_first = -1
+    cur_last = -1
+
+    def close_tile():
+        nonlocal row_fill, ent_fill, cur_first, cur_last
+        pad_rows = T - row_fill
+        if pad_rows:
+            src_chunks.append(np.full(pad_rows, -1, dtype=np.int64))
+            # pad rows carry slot 0 — their gathered values are zero
+            slot_chunks.append(np.zeros(pad_rows, dtype=np.int64))
+            ent_chunks.append(
+                np.full(pad_rows, n_entities, dtype=np.int64)
+            )
+        tile_first.append(cur_first)
+        tile_last.append(cur_last)
+        tile_last_slot.append(max(ent_fill - 1, 0))
+        row_fill = 0
+        ent_fill = 0
+        cur_first = -1
+        cur_last = -1
+
+    pos = 0
+    for u in range(n_entities):
+        c = int(counts[u])
+        if c == 0:
+            continue
+        taken = 0
+        while taken < c:
+            if row_fill >= T or ent_fill >= S:
+                close_tile()
+            take = min(c - taken, T - row_fill)
+            src_chunks.append(order[pos : pos + take])
+            slot_chunks.append(np.full(take, ent_fill, dtype=np.int64))
+            ent_chunks.append(np.full(take, u, dtype=np.int64))
+            if cur_first < 0:
+                cur_first = u
+            cur_last = u
+            final_tile[u] = len(tile_first)  # current tile index
+            final_slot[u] = ent_fill
+            pos += take
+            taken += take
+            row_fill += take
+            ent_fill += 1
+    if row_fill:
+        close_tile()
+    # one trailing all-pad tile: guarantees an all-zero partial slot at
+    # flat index n_tiles*S for row-less entities' final_part, keeping
+    # every gather in bounds (no fill-mode gathers on the hot path)
+    close_tile()
+
+    n_tiles = len(tile_first)
+    tf = np.asarray(tile_first, dtype=np.int64)
+    tl = np.asarray(tile_last, dtype=np.int64)
+    cont_in = np.zeros(n_tiles, dtype=np.int32)
+    cont_out = np.zeros(n_tiles, dtype=np.int32)
+    if n_tiles > 1:
+        same = (tf[1:] == tl[:-1]) & (tf[1:] >= 0)
+        cont_in[1:] = same.astype(np.int32)
+        cont_out[:-1] = same.astype(np.int32)
+    last_slot = np.asarray(tile_last_slot, dtype=np.int32)
+
+    final_part = np.where(
+        final_tile >= 0,
+        final_tile * S + final_slot,
+        (n_tiles - 1) * S,  # first slot of the trailing all-pad tile
+    ).astype(np.int32)
+
+    src = np.concatenate(src_chunks) if src_chunks else np.empty(0, np.int64)
+    slot = (
+        np.concatenate(slot_chunks) if slot_chunks else np.empty(0, np.int64)
+    )
+    ent = np.concatenate(ent_chunks) if ent_chunks else np.empty(0, np.int64)
+    src = np.where(src < 0, n, src)  # pad -> N (OOB fill)
+    return (
+        src.astype(np.int32),
+        slot.astype(np.int32),
+        ent.astype(np.int32),
+        cont_in,
+        cont_out,
+        last_slot,
+        final_part,
+    )
+
+
+def compile_categorical_table(
+    ent: np.ndarray,
+    n_entities: int,
+    col_offset: int,
+    n_rows: int,
+    dtype,
+    T: int = DEFAULT_TILE_ROWS,
+    S: int = DEFAULT_TILE_ENTITIES,
+    rank: int = 32,
+    max_inflation: Optional[float] = None,
+) -> Optional[CategoricalTable]:
+    ent = np.asarray(ent, dtype=np.int64)
+    order = np.argsort(ent, kind="stable")
+    T, S, inflation = choose_tiling(
+        np.bincount(ent, minlength=n_entities), T, S, rank
+    )
+    if max_inflation is not None and inflation > max_inflation:
+        # pathological cardinality profile (e.g. one row per entity at
+        # huge B): let the caller fall back to the colored path
+        return None
+    (src, slot, ent_tile, cont_in, cont_out, last_slot,
+     final_part) = _pack_tiles(ent[order], order, n_entities, T, S)
+    nt = src.shape[0]
+    assert nt % T == 0
+    card = np.bincount(ent, minlength=n_entities).astype(dtype)
+    return CategoricalTable(
+        src=jnp.asarray(src),
+        slot=jnp.asarray(slot),
+        ent_of_tile_row=jnp.asarray(ent_tile),
+        cont_in=jnp.asarray(cont_in),
+        cont_out=jnp.asarray(cont_out),
+        last_slot=jnp.asarray(last_slot),
+        final_part=jnp.asarray(final_part),
+        cardinality=jnp.asarray(card),
+        ent_main=jnp.asarray(ent.astype(np.int32)),
+        noise_feat=jnp.asarray(
+            col_offset + np.arange(n_entities, dtype=np.int32)
+        ),
+        col_offset=col_offset,
+        n_cols=n_entities,
+        n_tiles=nt // T,
+        tile_rows=T,
+        tile_entities=S,
+    )
+
+
+def try_compile_categorical(
+    X: Optional[sps.spmatrix],
+    blocks: Sequence,
+    grouping: Optional[np.ndarray],
+    n_groups: Optional[int],
+    dtype,
+    T: int = DEFAULT_TILE_ROWS,
+    S: int = DEFAULT_TILE_ENTITIES,
+    rank: int = 32,
+    max_inflation: float = 4.0,
+) -> Optional[CategoricalPlan]:
+    """Compile the fast-path plan, or None if any table is not
+    categorical.  Mirrors compile_design's grouping semantics."""
+    dtype = np.dtype(dtype)
+    if X is None:
+        if not blocks:
+            return None
+        n_rows = blocks[0].mapper_size
+        X = sps.csr_matrix((n_rows, 0), dtype=dtype)
+    X = sps.csr_matrix(X)
+    n_rows = X.shape[0]
+    n_features = X.shape[1] + sum(b.feature_size for b in blocks)
+
+    if grouping is not None:
+        grouping = np.asarray(grouping, dtype=np.int32)
+
+    mappings: List[Tuple[np.ndarray, int, int]] = []  # (ent, B, offset)
+    if X.shape[1] > 0:
+        ent = categorical_mapping(X)
+        if ent is not None:
+            mappings.append((ent, X.shape[1], 0))
+        elif grouping is not None:
+            # A flattened design whose column groups are each one-hot
+            # (e.g. [date | user | item] with group_shapes) splits into
+            # one categorical table per contiguous column group — this
+            # keeps blocked ≡ flattened exact (same table
+            # decomposition ⇒ same chain).
+            g_main = grouping[: X.shape[1]]
+            if g_main.size and (np.diff(g_main) >= 0).all():
+                bounds = np.searchsorted(
+                    g_main, np.arange(g_main.max() + 2)
+                )
+                Xc = X.tocsc()
+                for gi in range(g_main.max() + 1):
+                    lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+                    if hi <= lo:
+                        continue
+                    sub = Xc[:, lo:hi].tocsr()
+                    ent = categorical_mapping(sub)
+                    if ent is None:
+                        return None
+                    mappings.append((ent, hi - lo, lo))
+            else:
+                return None
+        else:
+            return None
+    offset = X.shape[1]
+    for b in blocks:
+        ent = categorical_mapping(
+            sps.csr_matrix(b.data), np.asarray(b.original_to_block)
+        )
+        if ent is None:
+            return None
+        mappings.append((ent, b.feature_size, offset))
+        offset += b.feature_size
+    if not mappings:
+        return None
+
+    if grouping is None:
+        grouping = np.zeros(n_features, dtype=np.int32)
+        n_groups = 1
+    else:
+        grouping = np.asarray(grouping, dtype=np.int32)
+        if n_groups is None:
+            n_groups = int(grouping.max()) + 1 if grouping.size else 1
+    group_counts = np.bincount(grouping, minlength=n_groups).astype(dtype)
+
+    tables = []
+    for ent, B, off in mappings:
+        tab = compile_categorical_table(
+            ent, B, off, n_rows, dtype, T=T, S=S, rank=rank,
+            max_inflation=max_inflation,
+        )
+        if tab is None:
+            return None
+        tables.append(tab)
+    tables = tuple(tables)
+
+    # cross-table entity maps in each table's tile-row order
+    cross_ent = []
+    for t in tables:
+        src = np.asarray(t.src)
+        row = []
+        for t2, (ent2, B2, _off2) in zip(tables, mappings):
+            if t2 is t:
+                row.append(t.ent_of_tile_row)
+                continue
+            ent2_pad = np.concatenate(
+                [np.asarray(ent2, dtype=np.int64),
+                 np.asarray([B2], dtype=np.int64)]
+            )
+            row.append(
+                jnp.asarray(
+                    ent2_pad[np.minimum(src, n_rows)].astype(np.int32)
+                )
+            )
+        cross_ent.append(tuple(row))
+
+    return CategoricalPlan(
+        tables=tables,
+        cross_ent=tuple(cross_ent),
+        group_index=jnp.asarray(grouping),
+        group_counts=jnp.asarray(group_counts),
+        row_mask=None,
+        n_rows=n_rows,
+        n_features=n_features,
+        n_groups=int(n_groups),
+    )

@@ -77,14 +77,32 @@ class MyFMGibbsBase(MyFMBase):
         config: ConfigBuilder,
         callback,
     ):
-        plan = compile_design(
-            X,
-            X_rel,
-            grouping=np.asarray(config.group_index, dtype=np.int32),
-            dtype=self.dtype,
-            strategy=self.sweep_strategy,
-            max_unrolled_colors=self.max_unrolled_colors,
-        )
+        cat_plan = None
+        if self.sweep_strategy in ("auto", "categorical"):
+            from .design_categorical import try_compile_categorical
+
+            cat_plan = try_compile_categorical(
+                X,
+                X_rel,
+                grouping=np.asarray(config.group_index, dtype=np.int32),
+                n_groups=None,
+                dtype=self.dtype,
+                rank=rank,
+            )
+        if cat_plan is None:
+            if self.sweep_strategy == "categorical":
+                raise ValueError(
+                    "sweep_strategy='categorical' requires every table "
+                    "(main and blocks) to be one-hot per row."
+                )
+            plan = compile_design(
+                X,
+                X_rel,
+                grouping=np.asarray(config.group_index, dtype=np.int32),
+                dtype=self.dtype,
+                strategy=self.sweep_strategy,
+                max_unrolled_colors=self.max_unrolled_colors,
+            )
         n_class = 0
         if config.cutpoint_groups:
             n_class = config.cutpoint_groups[0][0]
@@ -101,9 +119,17 @@ class MyFMGibbsBase(MyFMBase):
             cutpoint_scale=config.cutpoint_scale,
             n_class=n_class,
         )
-        trainer = GibbsTrainer(
-            plan, y, cfg, rank, init_stdev, random_seed, self.dtype
-        )
+        if cat_plan is not None:
+            from .trainer import CategoricalGibbsTrainer
+
+            trainer = CategoricalGibbsTrainer(
+                cat_plan, y, cfg, rank, init_stdev, random_seed,
+                self.dtype,
+            )
+        else:
+            trainer = GibbsTrainer(
+                plan, y, cfg, rank, init_stdev, random_seed, self.dtype
+            )
         return trainer.run(config.n_iter, config.n_kept_samples, callback)
 
     def get_hyper_trace(self) -> pd.DataFrame:

@@ -1,0 +1,434 @@
+"""Entity-space Gibbs sweep for all-categorical designs (fast path).
+
+For designs where every table is one-hot per row (user id, item id,
+date bucket — the reference's MovieLens protocols), the Gibbs sweep is
+re-derived so that NO [N]-sized state is permuted between tables at
+all: because every table is categorical, the residual and the factor
+sums are pure functions of the small per-entity weight tables,
+
+    score_n = w0 + sum_t w_t[c_t(n)] + 1/2 sum_r (Q_{nr}^2 - QS_{nr}),
+    Q_n = sum_t V_t[c_t(n)],  QS_n = sum_t V_t[c_t(n)]^2,
+    e_n = score_n - tau_n     (tau = y, or the probit latent z),
+
+so each table pass reconstructs (e, phi) **in its own tile space** with
+three small-source row-gathers ([B_t', 1+R] weight tables — high
+locality, ~10x cheaper on TPU than permuting [N, 1+R] row state), and
+writes back only the updated weight slices.
+
+Math (per categorical table t; entity u ≡ feature; x = 1):
+
+  Linear weight draw (reference FMTrainer.hpp:231-314):
+      quad = alpha * card_u + lambda_w
+      lin  = alpha * (card_u * w_old − E1_u) + lambda_w * mu_w,
+      E1_u = sum_{n in u} e_n.
+
+  Factor r draw (FMTrainer.hpp:316-486): with phi_{r,n} = q_{r,n} − v_old,
+      quad = alpha * Sphi2_{r,u} + lambda_V[r]
+      lin  = alpha * (Sphi2_{r,u} v_old − EQ_{r,u}) + lambda_V mu_V.
+
+  All per-entity statistics are entries of ONE Gram matrix
+      G_u = sum_{n in u} z z^T,  z = [1 | e | phi_1..phi_R]
+  (the Pallas kernel in ops/pallas_gram.py):
+      card = G[0,0], E1 = G[0,1], Sphi_r = G[0,2+r],
+      EQ_r = G[1,2+r], Sphi2_r = G[2+r,2+r], sum phi_r phi_s = G[2+r,2+s].
+
+  Sequential correctness: within a table the phi_r columns are fixed
+  during the table's scan (updating factor r changes q_r only, which
+  later factors never read), so the only cross-coordinate coupling is
+  through e — and e's updates live in the Gram too:
+      after the w draw:        EQ_r += delta_w Sphi_r
+      after drawing factor r:  EQ_s += delta_r G[2+r, 2+s]
+  so the whole scan is [B]-vectorized arithmetic with zero row traffic.
+
+Update order (a valid fixed-scan Gibbs; deviates from the reference's
+all-w-then-all-V order only in that each table's w draw immediately
+precedes its factor scan — same stationary distribution):
+  alpha -> w0 -> lambda_w/mu_w -> lambda_V/mu_V ->
+  per table: {w_t, V_t factor scan} -> task residual refresh.
+
+e is recomputed from the weights at every use (the reference's own
+update_e recomputes it once per sweep, FMTrainer.hpp:493-522), so there
+is no incremental float drift at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..design_categorical import CategoricalPlan, CategoricalTable
+from .gibbs import (
+    GibbsConfig,
+    GibbsState,
+    TASK_CLASSIFICATION,
+    TASK_ORDERED,
+    TASK_REGRESSION,
+    _draw_normal,
+    draw_alpha,
+    draw_lambda,
+    draw_mu,
+    draw_w0,
+)
+from .pallas_gram import tile_gram
+from .special import truncated_std_normal_onesided
+
+# rows processed per Gram chunk: bounds the [chunk, R]-sized
+# temporaries (phi, z, Q) so HBM peak stays flat in N
+_CHUNK_ROWS = 1 << 20
+
+
+@dataclasses.dataclass
+class CategoricalState:
+    """GibbsState plus the latent target tau (tau = z for the probit
+    tasks; for regression it is None and y is used directly)."""
+
+    core: GibbsState
+    tau: Optional[jax.Array]
+
+
+jax.tree_util.register_dataclass(
+    CategoricalState, data_fields=["core", "tau"], meta_fields=[]
+)
+
+
+def _pad_zero_row(arr: jax.Array) -> jax.Array:
+    """Append one all-zero row so pad indices gather zeros in-bounds
+    (fill-mode gathers lower to a much slower XLA path)."""
+    return jnp.concatenate(
+        [arr, jnp.zeros((1,) + arr.shape[1:], arr.dtype)], axis=0
+    )
+
+
+def _table_slice(W: jax.Array, t: CategoricalTable) -> jax.Array:
+    return W[t.col_offset : t.col_offset + t.n_cols]
+
+
+def _wv_rows(w, V, t2: CategoricalTable, idx: jax.Array) -> jax.Array:
+    """Gather [w_t2 | V_t2] rows ([*, 1+R]) by entity index (pad->0)."""
+    wv = jnp.concatenate(
+        [_table_slice(w, t2)[:, None], _table_slice(V, t2)], axis=1
+    )
+    return _pad_zero_row(wv)[idx]
+
+
+def _score_parts(plan: CategoricalPlan, w, V, w0, ent_maps, ones):
+    """(score, Q) at the rows addressed by ent_maps[t2] for each table.
+
+    ``ones`` masks pad rows (only needed for the w0 term; gathered pad
+    rows are already zero).  The squared term is accumulated as a
+    per-row scalar — never materializing an [n, R] QS matrix (HBM
+    matters at 1e7 rows)."""
+    rank = V.shape[1]
+    n = ent_maps[0].shape[0]
+    dtype = V.dtype
+    lin = jnp.zeros((n,), dtype)
+    Q = jnp.zeros((n, rank), dtype)
+    qs_sum = jnp.zeros((n,), dtype)
+    for t2, idx in zip(plan.tables, ent_maps):
+        g = _wv_rows(w, V, t2, idx)  # [n, 1+R]
+        lin = lin + g[:, 0]
+        Q = Q + g[:, 1:]
+        qs_sum = qs_sum + jnp.sum(g[:, 1:] ** 2, axis=1)
+    score = ones * w0 + lin
+    if rank:
+        score = score + 0.5 * (jnp.sum(Q * Q, axis=1) - qs_sum)
+    return score, Q
+
+
+def score_and_q(plan: CategoricalPlan, w0, w, V):
+    """Forward pass in main row order (gathers from the small weight
+    tables only).  Returns (score [N], Q [N, R])."""
+    ones = jnp.ones((plan.n_rows,), V.dtype)
+    ent_maps = [t.ent_main for t in plan.tables]
+    return _score_parts(plan, w, V, w0, ent_maps, ones)
+
+
+def _table_pass(
+    plan: CategoricalPlan,
+    ti: int,
+    w: jax.Array,  # [F]
+    V: jax.Array,  # [F, R]
+    w0,
+    alpha,
+    lambda_w,
+    mu_w,
+    lambda_V,
+    mu_V,
+    group_index,
+    noise_w,  # [F]
+    noise_V,  # [F, R]
+    tau_tile,  # [NT] latent target in this table's tile order (pad 0)
+    cfg: GibbsConfig,
+    interpret: bool,
+):
+    """One table's w draw + factor scan; returns updated (w, V)."""
+    t = plan.tables[ti]
+    rank = V.shape[1]
+    D = rank + 2
+    K = t.n_tiles
+    T = t.tile_rows
+    dtype = V.dtype
+
+    w_t = _table_slice(w, t)  # [B]
+    V_t = _table_slice(V, t)  # [B, R]
+    g_t = group_index[t.col_offset : t.col_offset + t.n_cols]  # [B]
+
+    # --- reconstruct (e, phi) chunk-by-chunk and Gram on the fly ------
+    # Working set stays O(chunk) instead of O(N): at ML-10M scale the
+    # [NT, R]-sized temporaries (phi, z, Q) would otherwise hold ~4 GB
+    # live per table and blow out HBM.
+    S = t.tile_entities
+    Kc = max(1, min(K, _CHUNK_ROWS // T))
+    n_chunks = -(-K // Kc)
+    Kp = n_chunks * Kc
+    own_table = _pad_zero_row(V_t)
+
+    def pad_k(arr, fill, tile_shape):
+        flat = arr.reshape((K,) + tile_shape)
+        if Kp != K:
+            pad = jnp.full(((Kp - K),) + tile_shape, fill, flat.dtype)
+            flat = jnp.concatenate([flat, pad])
+        return flat.reshape((n_chunks, Kc) + tile_shape)
+
+    xs = dict(
+        src=pad_k(t.src, plan.n_rows, (T,)),
+        slot=pad_k(t.slot, 0, (T,)),
+        cont_in=pad_k(t.cont_in, 0, ()),
+        cont_out=pad_k(t.cont_out, 0, ()),
+        last_slot=pad_k(t.last_slot, 0, ()),
+        own_ent=pad_k(t.ent_of_tile_row, t.n_cols, (T,)),
+        cross=[
+            pad_k(m, t2.n_cols, (T,))
+            for m, t2 in zip(plan.cross_ent[ti], plan.tables)
+        ],
+        tau=pad_k(tau_tile, 0.0, (T,)),
+    )
+
+    def chunk_body(carry, xc):
+        src_c = xc["src"].reshape(Kc * T)
+        ones_c = (src_c < plan.n_rows).astype(dtype)
+        ent_maps = [m.reshape(Kc * T) for m in xc["cross"]]
+        score_c, Q_c = _score_parts(plan, w, V, w0, ent_maps, ones_c)
+        e_c = score_c - xc["tau"].reshape(Kc * T)
+        own_c = own_table[xc["own_ent"].reshape(Kc * T)]
+        phi = Q_c - ones_c[:, None] * own_c
+        z = jnp.concatenate(
+            [ones_c[:, None], e_c[:, None], phi], axis=1
+        ).reshape(Kc, T, D)
+        flat_c, carry = tile_gram(
+            z, xc["slot"], xc["cont_in"], xc["cont_out"],
+            xc["last_slot"], S=S, carry_in=carry, interpret=interpret,
+        )
+        return carry, flat_c
+
+    carry0 = jnp.zeros((D, D), dtype)
+    if n_chunks == 1:
+        xc = jax.tree_util.tree_map(lambda a: a[0], xs)
+        _, flat = chunk_body(carry0, xc)
+    else:
+        _, flats = lax.scan(chunk_body, carry0, xs)
+        flat = flats.reshape(Kp * S, D, D)
+    G = flat[t.final_part]  # [B, D, D]
+
+    card = G[:, 0, 0]
+    E1 = G[:, 0, 1]
+    Sphi = G[:, 0, 2:]  # [B, R]
+    EQphi = G[:, 1, 2:]  # [B, R]
+
+    lam_w = lambda_w[g_t]
+    mu_wg = mu_w[g_t]
+
+    # --- linear weight draw (vectorized over the whole table) ---------
+    if cfg.fit_linear:
+        quad = alpha * card + lam_w
+        lin = alpha * (card * w_t - E1) + lam_w * mu_wg
+        w_new = _draw_normal(quad, lin, noise_w[t.noise_feat])
+        dw = w_new - w_t
+        # e_n += dw_u  ->  EQ_r += dw * Sphi_r  (E1 not reused)
+        EQphi = EQphi + dw[:, None] * Sphi
+    else:
+        w_new = w_t
+
+    # --- factor scan in entity space, chunked --------------------------
+    # Sequential per-coordinate draws over factors; the cross-factor
+    # coupling EQ_s += delta_r * G[r, s] is applied densely within a
+    # chunk of C factors and lazily to later chunks with one einsum per
+    # chunk — the [B, R, R] Gram block is never transposed whole.
+    if rank:
+        C = min(8, rank)
+        lam_V = lambda_V[g_t]  # [B, R]
+        mu_Vg = mu_V[g_t]  # [B, R]
+        noise_V_t = noise_V[t.noise_feat]  # [B, R]
+
+        v_new_cols = []
+        EQ_corr = jnp.zeros_like(EQphi)
+        for c0 in range(0, rank, C):
+            c1 = min(c0 + C, rank)
+            Gc = G[:, 2 + c0 : 2 + c1, 2:]  # [B, c, R] contiguous
+            EQ_chunk = (EQphi + EQ_corr)[:, c0:c1]  # [B, c]
+            deltas = []
+            for j in range(c1 - c0):
+                r = c0 + j
+                diag_r = Gc[:, j, r]  # G[:, 2+r, 2+r]
+                v_old = V_t[:, r]
+                EQ_col = EQ_chunk[:, j]
+                quad = alpha * diag_r + lam_V[:, r]
+                lin = (
+                    alpha * (diag_r * v_old - EQ_col)
+                    + lam_V[:, r] * mu_Vg[:, r]
+                )
+                v_new = _draw_normal(quad, lin, noise_V_t[:, r])
+                delta = v_new - v_old
+                if j + 1 < c1 - c0:
+                    EQ_chunk = EQ_chunk.at[:, j + 1 :].add(
+                        delta[:, None] * Gc[:, j, r + 1 : c1]
+                    )
+                v_new_cols.append(v_new)
+                deltas.append(delta)
+            if c1 < rank:
+                delta_c = jnp.stack(deltas, axis=1)  # [B, c]
+                EQ_corr = EQ_corr.at[:, c1:].add(
+                    jnp.einsum(
+                        "bc,bcr->br", delta_c, Gc[:, :, c1:],
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                )
+        V_new = jnp.stack(v_new_cols, axis=1)  # [B, R]
+    else:
+        V_new = V_t
+
+    w = lax.dynamic_update_slice(w, w_new, (t.col_offset,))
+    V = lax.dynamic_update_slice(V, V_new, (t.col_offset, 0))
+    return w, V
+
+
+def categorical_sweep(
+    plan: CategoricalPlan,
+    state: CategoricalState,
+    y: jax.Array,
+    y_tiles: Tuple[jax.Array, ...],
+    key,
+    cfg: GibbsConfig,
+    interpret: bool = False,
+) -> CategoricalState:
+    """One full Gibbs iteration on the categorical fast path.
+
+    ``y_tiles[t]`` is y gathered to table t's tile order (precomputed
+    once per fit; for the probit tasks the latent tau is gathered here
+    instead, once per sweep)."""
+    core = state.core
+    dtype = core.V.dtype
+    n = plan.n_rows
+    rank = core.V.shape[1]
+    (k_alpha, k_w0, k_lw, k_mw, k_w, k_lv, k_mv, k_v, k_e) = (
+        jax.random.split(key, 9)
+    )
+
+    e = core.e
+    if cfg.task == TASK_REGRESSION:
+        alpha = draw_alpha(k_alpha, e, cfg, n, dtype)
+    else:
+        alpha = jnp.asarray(1.0, dtype)
+
+    w0 = core.w0
+    if cfg.fit_w0:
+        w0, e = draw_w0(k_w0, e, w0, alpha, cfg, n)
+
+    lambda_w = draw_lambda(
+        k_lw, core.w, core.mu_w, plan.group_index, plan.group_counts, cfg
+    )
+    mu_w = draw_mu(
+        k_mw, core.w, lambda_w, plan.group_index, plan.group_counts, cfg
+    )
+    lambda_V = draw_lambda(
+        k_lv, core.V, core.mu_V, plan.group_index, plan.group_counts, cfg
+    )
+    mu_V = draw_mu(
+        k_mv, core.V, lambda_V, plan.group_index, plan.group_counts, cfg
+    )
+
+    noise_w = jax.random.normal(k_w, (plan.n_features,), dtype=dtype)
+    noise_V = jax.random.normal(
+        k_v, (plan.n_features, rank), dtype=dtype
+    )
+
+    w, V = core.w, core.V
+    for ti, t in enumerate(plan.tables):
+        if cfg.task == TASK_REGRESSION:
+            tau_tile = y_tiles[ti]
+        else:
+            tau_tile = _pad_zero_row(state.tau[:, None])[t.src][:, 0]
+        w, V = _table_pass(
+            plan, ti, w, V, w0, alpha, lambda_w, mu_w, lambda_V, mu_V,
+            plan.group_index, noise_w, noise_V, tau_tile, cfg, interpret,
+        )
+
+    # --- task-specific residual refresh --------------------------------
+    score, _Q = score_and_q(plan, w0, w, V)
+    cutpoints = core.cutpoints
+    oprobit_alpha = core.oprobit_alpha
+    n_mh_accept = core.n_mh_accept
+    tau = state.tau
+    if cfg.task == TASK_REGRESSION:
+        e = score - y
+    elif cfg.task == TASK_CLASSIFICATION:
+        t_draw = truncated_std_normal_onesided(k_e, -score, y > 0)
+        tau = score + t_draw  # latent z
+        e = -t_draw
+    elif cfg.task == TASK_ORDERED:
+        from .oprobit import alpha_to_gamma, oprobit_mh_step, sample_z_residual
+
+        k_mh, k_z = jax.random.split(k_e)
+        oprobit_alpha, n_mh_accept = oprobit_mh_step(
+            k_mh, score, y, core.oprobit_alpha, core.n_mh_accept,
+            cfg.n_class, cfg.reg_0, float(cfg.nu_oprobit),
+        )
+        cutpoints = alpha_to_gamma(oprobit_alpha)
+        e = sample_z_residual(k_z, score, y, cutpoints, cfg.n_class)
+        tau = score - e  # z
+    else:  # pragma: no cover
+        raise NotImplementedError(cfg.task)
+
+    new_core = GibbsState(
+        w0=w0, w=w, V=V, e=e, alpha=alpha,
+        mu_w=mu_w, lambda_w=lambda_w, mu_V=mu_V, lambda_V=lambda_V,
+        cutpoints=cutpoints, oprobit_alpha=oprobit_alpha,
+        n_mh_accept=n_mh_accept,
+    )
+    return CategoricalState(core=new_core, tau=tau)
+
+
+def init_categorical_state(
+    plan: CategoricalPlan, core: GibbsState, y, key, cfg: GibbsConfig
+) -> CategoricalState:
+    """Initialize e (and the latent tau) from freshly initialized
+    weights, matching the reference's initialize_e
+    (FMTrainer.hpp:99-119)."""
+    score, _Q = score_and_q(plan, core.w0, core.w, core.V)
+    tau = None
+    if cfg.task == TASK_ORDERED:
+        from .oprobit import initialize_oprobit_core
+
+        core, e = initialize_oprobit_core(score, core, y, cfg, key)
+        tau = score - e
+    else:
+        # regression and (±1-coded) classification both start with
+        # e = score − y
+        e = score - y
+        core = dataclasses.replace(core, e=e)
+        if cfg.task == TASK_CLASSIFICATION:
+            # explicit copy: tau lives in the donated state while y is
+            # a regular argument — aliasing them trips buffer donation
+            tau = jnp.array(y, dtype=score.dtype, copy=True)
+    return CategoricalState(core=core, tau=tau)
+
+
+def make_y_tiles(plan: CategoricalPlan, y: jax.Array):
+    """Per-table tile-order copies of y (regression; computed once)."""
+    return tuple(
+        _pad_zero_row(y[:, None])[t.src][:, 0] for t in plan.tables
+    )

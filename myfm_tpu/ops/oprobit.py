@@ -220,6 +220,16 @@ def sample_z_residual(key, score, y, gamma, n_class: int):
     return -t
 
 
+def _init_cutpoints_from_score(score, y, key, n_class, reg):
+    """Newton MAP cutpoints from initial scores + latent-residual draw."""
+    f = make_objective(score, y, n_class, reg)
+    alpha0 = jnp.zeros((n_class - 1,), score.dtype)
+    alpha_hat, _ = _newton_minimize(f, alpha0)
+    gamma = alpha_to_gamma(alpha_hat)
+    e = sample_z_residual(key, score, y, gamma, n_class)
+    return alpha_hat, gamma, e
+
+
 def initialize_oprobit_state(plan, state, y_int, cfg, key):
     """Reference initialize_e for ORDERED (FMTrainer.hpp:99-119):
     Newton MAP for the cutpoints from the initial scores, then draw the
@@ -228,18 +238,13 @@ def initialize_oprobit_state(plan, state, y_int, cfg, key):
 
     from .forward import predict_score
 
-    @partial(jax.jit, static_argnames=("n_class", "reg", "nu"))
-    def init(state, y, key, n_class, reg, nu):
+    @partial(jax.jit, static_argnames=("n_class", "reg"))
+    def init(state, y, key, n_class, reg):
         score = predict_score(plan, state.w0, state.w, state.V)
-        f = make_objective(score, y, n_class, reg)
-        alpha0 = jnp.zeros((n_class - 1,), score.dtype)
-        alpha_hat, _ = _newton_minimize(f, alpha0)
-        gamma = alpha_to_gamma(alpha_hat)
-        e = sample_z_residual(key, score, y, gamma, n_class)
-        return alpha_hat, gamma, e
+        return _init_cutpoints_from_score(score, y, key, n_class, reg)
 
     alpha_hat, gamma, e = init(
-        state, y_int, key, cfg.n_class, cfg.reg_0, float(cfg.nu_oprobit)
+        state, y_int, key, cfg.n_class, cfg.reg_0
     )
     return _dc.replace(
         state,
@@ -248,3 +253,21 @@ def initialize_oprobit_state(plan, state, y_int, cfg, key):
         oprobit_alpha=alpha_hat,
         n_mh_accept=jnp.zeros((), jnp.int32),
     )
+
+
+def initialize_oprobit_core(score, core, y_int, cfg, key):
+    """Like initialize_oprobit_state but from a precomputed score
+    vector (used by the categorical fast path).  Returns (core, e)."""
+    import dataclasses as _dc
+
+    alpha_hat, gamma, e = _init_cutpoints_from_score(
+        score, y_int, key, cfg.n_class, cfg.reg_0
+    )
+    core = _dc.replace(
+        core,
+        e=e,
+        cutpoints=gamma,
+        oprobit_alpha=alpha_hat,
+        n_mh_accept=jnp.zeros((), jnp.int32),
+    )
+    return core, e

@@ -174,3 +174,100 @@ class GibbsTrainer:
         if self.cfg.task == TASK_ORDERED and state.n_mh_accept is not None:
             history.n_mh_accept = [int(state.n_mh_accept)]
         return predictor, history
+
+
+class CategoricalGibbsTrainer:
+    """Gibbs trainer on the entity-space fast path (all tables
+    categorical; see ops/categorical.py).  Same run() contract as
+    GibbsTrainer."""
+
+    def __init__(
+        self,
+        plan,  # CategoricalPlan
+        y: np.ndarray,
+        cfg: GibbsConfig,
+        rank: int,
+        init_stdev: float,
+        random_seed: int,
+        dtype=np.float32,
+    ):
+        import jax as _jax
+
+        from .ops.categorical import (
+            categorical_sweep,
+            init_categorical_state,
+            make_y_tiles,
+        )
+
+        self.plan = plan
+        self.cfg = cfg
+        self.rank = rank
+        self.init_stdev = init_stdev
+        self.random_seed = random_seed
+        self.dtype = np.dtype(dtype)
+        if cfg.task == TASK_ORDERED:
+            self.y_int = jnp.asarray(np.asarray(y, dtype=np.int32))
+            self.y = jnp.asarray(np.asarray(y).astype(self.dtype))
+        else:
+            self.y = jnp.asarray(np.asarray(y).astype(self.dtype))
+            self.y_int = None
+        # per-table tile-order copies of y (regression target path)
+        self.y_tiles = make_y_tiles(plan, self.y)
+        # Pallas TPU kernels require interpret mode off-TPU (tests run
+        # on the forced-CPU backend)
+        self._interpret = _jax.default_backend() != "tpu"
+        self._init_fn = init_categorical_state
+        self._sweep = jax.jit(
+            categorical_sweep, static_argnums=(5, 6), donate_argnums=(1,)
+        )
+
+    def _initialize(self, key):
+        k_init, k_e = jax.random.split(key)
+        core = init_state(
+            self.plan, self.rank, self.init_stdev, k_init, self.cfg,
+            self.dtype,
+        )
+        y_arg = self.y_int if self.cfg.task == TASK_ORDERED else self.y
+        return self._init_fn(self.plan, core, y_arg, k_e, self.cfg)
+
+    def run(
+        self,
+        n_iter: int,
+        n_kept_samples: int,
+        callback: Optional[
+            Callable[[int, FM, FMHyperParameters, LearningHistory], bool]
+        ] = None,
+    ) -> Tuple[Predictor, LearningHistory]:
+        master = jax.random.PRNGKey(self.random_seed)
+        state = self._initialize(jax.random.fold_in(master, 0))
+
+        predictor = Predictor(
+            self.rank, self.plan.n_features, self.cfg.task, self.dtype
+        )
+        history = LearningHistory()
+        y_arg = self.y_int if self.cfg.task == TASK_ORDERED else self.y
+        for it in range(n_iter):
+            key = jax.random.fold_in(master, 1 + it)
+            state = self._sweep(
+                self.plan, state, y_arg, self.y_tiles, key, self.cfg,
+                self._interpret,
+            )
+
+            view = LazyFMView(state.core)
+            if it + n_kept_samples >= n_iter:
+                predictor.samples.append(view.materialize())
+            history.hypers.append(_fetch_hyper(state.core))
+
+            if callback is not None:
+                should_stop = callback(
+                    it, view, history.hypers[-1], history
+                )
+                if should_stop:
+                    break
+
+        if (
+            self.cfg.task == TASK_ORDERED
+            and state.core.n_mh_accept is not None
+        ):
+            history.n_mh_accept = [int(state.core.n_mh_accept)]
+        return predictor, history

@@ -1,0 +1,287 @@
+"""Tests for the categorical entity-space fast path.
+
+Layers (mirroring the reference's test strategy, SURVEY §4):
+1. kernel unit: Pallas tile-Gram (interpret mode) == einsum oracle ==
+   brute-force numpy per-entity Grams, across split/pad patterns;
+2. table-pass unit: one `_table_pass` == an independent numpy
+   re-implementation of the entity-space update rules, exactly (same
+   noise);
+3. invariant: after a full sweep, the maintained residual equals the
+   recomputed score minus the latent target;
+4. parity: identity-blocked ≡ grouped-flattened (both resolve to the
+   same table decomposition ⇒ identical chains);
+5. end-to-end posterior concentration through the public API.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import jax
+import jax.numpy as jnp
+
+from myfm_tpu import MyFMGibbsRegressor, RelationBlock
+from myfm_tpu.design_categorical import (
+    compile_categorical_table,
+    try_compile_categorical,
+)
+from myfm_tpu.ops.categorical import (
+    _table_pass,
+    categorical_sweep,
+    init_categorical_state,
+)
+from myfm_tpu.ops.gibbs import GibbsConfig, init_state
+from myfm_tpu.ops.pallas_gram import entity_grams
+
+from .oracle import expand_blocks
+
+
+def _tile_rows(tab, z):
+    D = z.shape[1]
+    zpad = np.concatenate([z, np.zeros((1, D), z.dtype)])
+    src = np.minimum(np.asarray(tab.src), z.shape[0])
+    return jnp.asarray(
+        zpad[src].reshape(tab.n_tiles, tab.tile_rows, D)
+    )
+
+
+@pytest.mark.parametrize("T,S", [(16, 2), (64, 8), (1024, 8)])
+@pytest.mark.parametrize("seed", [0, 3])
+def test_entity_grams_vs_numpy(T, S, seed):
+    rng = np.random.RandomState(seed)
+    N, B, D = 700, 29, 5
+    ent = rng.randint(0, B, N)
+    ent[ent == 7] = 8  # an entity with zero rows
+    tab = compile_categorical_table(ent, B, 0, N, np.float32, T=T, S=S)
+    z = rng.normal(size=(N, D)).astype(np.float32)
+    rows_t = _tile_rows(tab, z)
+    for use_pallas in (False, True):
+        G = np.asarray(
+            entity_grams(
+                tab, rows_t, tab.tile_entities, D,
+                interpret=True, use_pallas=use_pallas,
+            )
+        )
+        for u in range(B):
+            rows = z[ent == u].astype(np.float64)
+            ref = rows.T @ rows if len(rows) else np.zeros((D, D))
+            np.testing.assert_allclose(
+                G[u], ref, rtol=2e-4, atol=2e-4,
+                err_msg=f"entity {u} pallas={use_pallas}",
+            )
+
+
+def test_table_pass_matches_numpy_oracle():
+    """_table_pass == independent numpy implementation, exactly.
+
+    Two one-hot tables; the oracle reconstructs e from the weights
+    (like the pass does), then draws per-coordinate with identical
+    conditionals and the same noise."""
+    rng = np.random.RandomState(1)
+    N, B1, B2, R, G_n = 300, 11, 7, 3, 2
+    ent1 = rng.randint(0, B1, N)
+    ent2 = rng.randint(0, B2, N)
+    X1 = sps.csr_matrix(
+        (np.ones(N), (np.arange(N), ent1)), shape=(N, B1)
+    )
+    X2 = sps.csr_matrix(
+        (np.ones(N), (np.arange(N), ent2)), shape=(N, B2)
+    )
+    grouping = np.asarray([0] * B1 + [1] * B2, np.int32)
+    plan = try_compile_categorical(
+        sps.hstack([X1, X2]).tocsr(), [], grouping, None, np.float64,
+        T=32, S=4, rank=R,
+    )
+    assert plan is not None and len(plan.tables) == 2
+    F = B1 + B2
+
+    w = jnp.asarray(rng.normal(size=F))
+    V = jnp.asarray(rng.normal(size=(F, R)))
+    w0 = 0.4
+    tau = rng.normal(size=N)  # latent target
+    alpha = 1.7
+    lambda_w = jnp.asarray([1.1, 0.7])
+    mu_w = jnp.asarray([0.2, -0.1])
+    lambda_V = jnp.asarray(rng.random((G_n, R)) + 0.5)
+    mu_V = jnp.asarray(rng.normal(size=(G_n, R)) * 0.1)
+    noise_w = jnp.asarray(rng.normal(size=F))
+    noise_V = jnp.asarray(rng.normal(size=(F, R)))
+    cfg = GibbsConfig(task="regression")
+
+    from myfm_tpu.ops.categorical import make_y_tiles
+
+    tau_tiles = make_y_tiles(plan, jnp.asarray(tau))
+    w_j, V_j = jnp.asarray(w), jnp.asarray(V)
+    for ti in range(2):
+        w_j, V_j = _table_pass(
+            plan, ti, w_j, V_j, w0, alpha, lambda_w, mu_w, lambda_V,
+            mu_V, plan.group_index, noise_w, noise_V, tau_tiles[ti],
+            cfg, True,
+        )
+    w2, V2 = np.asarray(w_j), np.asarray(V_j)
+
+    # ---- numpy oracle ------------------------------------------------
+    w_o = np.asarray(w).copy()
+    V_o = np.asarray(V).copy()
+    gi = np.asarray(plan.group_index)
+    nw = np.asarray(noise_w)
+    nV = np.asarray(noise_V)
+    lw = np.asarray(lambda_w)[gi]
+    mw = np.asarray(mu_w)[gi]
+    lV = np.asarray(lambda_V)[gi]
+    mV = np.asarray(mu_V)[gi]
+    ents = [ent1, ent2 + 0]
+    offs = [0, B1]
+    for ti in range(2):
+        # reconstruct e, Q from current weights
+        Q_o = V_o[ents[0]] + V_o[B1 + ents[1]]
+        QS_o = V_o[ents[0]] ** 2 + V_o[B1 + ents[1]] ** 2
+        score = (
+            w0 + w_o[ents[0]] + w_o[B1 + ents[1]]
+            + 0.5 * (Q_o**2 - QS_o).sum(axis=1)
+        )
+        e_o = score - tau
+        ent = ents[ti]
+        off = offs[ti]
+        B = [B1, B2][ti]
+        for u in range(B):
+            f = off + u
+            rows = np.nonzero(ent == u)[0]
+            quad = alpha * len(rows) + lw[f]
+            lin = (
+                alpha * (len(rows) * w_o[f] - e_o[rows].sum())
+                + lw[f] * mw[f]
+            )
+            w_new = lin / quad + nw[f] / np.sqrt(quad)
+            e_o[rows] += w_new - w_o[f]
+            w_o[f] = w_new
+        for r in range(R):
+            for u in range(B):
+                f = off + u
+                rows = np.nonzero(ent == u)[0]
+                phi = Q_o[rows, r] - V_o[f, r]
+                sq = (phi**2).sum()
+                quad = alpha * sq + lV[f, r]
+                lin = (
+                    alpha * (sq * V_o[f, r] - (e_o[rows] * phi).sum())
+                    + lV[f, r] * mV[f, r]
+                )
+                v_new = lin / quad + nV[f, r] / np.sqrt(quad)
+                d = v_new - V_o[f, r]
+                e_o[rows] += d * phi
+                Q_o[rows, r] += d
+                V_o[f, r] = v_new
+
+    np.testing.assert_allclose(w2, w_o, rtol=1e-8)
+    np.testing.assert_allclose(V2, V_o, rtol=1e-8)
+
+
+def _cf_problem(seed=0, n=600, n_users=31, n_items=19, noise=0.3):
+    rng = np.random.RandomState(seed)
+    u = rng.randint(0, n_users, n)
+    i = rng.randint(0, n_items, n)
+    y = (
+        1.5
+        + rng.normal(size=n_users)[u]
+        + rng.normal(size=n_items)[i]
+        + noise * rng.normal(size=n)
+    )
+    blocks = [
+        RelationBlock(u, sps.identity(n_users, format="csr")),
+        RelationBlock(i, sps.identity(n_items, format="csr")),
+    ]
+    return blocks, y, (n_users, n_items)
+
+
+def test_sweep_residual_invariant():
+    """e after a sweep == recomputed score − y."""
+    blocks, y, (n_users, n_items) = _cf_problem()
+    plan = try_compile_categorical(
+        None, blocks, None, None, np.float64, rank=3
+    )
+    assert plan is not None
+    cfg = GibbsConfig(task="regression")
+    key = jax.random.PRNGKey(0)
+    core = init_state(plan, 3, 0.1, key, cfg, np.float64)
+    yj = jnp.asarray(y)
+    state = init_categorical_state(plan, core, yj, key, cfg)
+    from myfm_tpu.ops.categorical import make_y_tiles, score_and_q
+
+    y_tiles = make_y_tiles(plan, yj)
+    for it in range(3):
+        state = categorical_sweep(
+            plan, state, yj, y_tiles, jax.random.fold_in(key, it),
+            cfg, interpret=True,
+        )
+    score, _ = score_and_q(
+        plan, state.core.w0, state.core.w, state.core.V
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.core.e), np.asarray(score - yj), rtol=1e-8
+    )
+
+
+def test_blocked_equals_grouped_flattened():
+    """Identity-blocked and grouped-flattened inputs resolve to the
+    same table decomposition ⇒ identical chains."""
+    blocks, y, (n_users, n_items) = _cf_problem(seed=4)
+    X_flat = expand_blocks(None, blocks)
+    kwargs = dict(rank=2, random_seed=11, dtype=np.float64)
+    fm_blocked = MyFMGibbsRegressor(**kwargs).fit(
+        None, y, X_rel=blocks, n_iter=8, n_kept_samples=8,
+        group_shapes=[n_users, n_items],
+    )
+    fm_flat = MyFMGibbsRegressor(**kwargs).fit(
+        X_flat, y, n_iter=8, n_kept_samples=8,
+        group_shapes=[n_users, n_items],
+    )
+    np.testing.assert_allclose(
+        fm_blocked.w_samples, fm_flat.w_samples, rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        fm_blocked.V_samples, fm_flat.V_samples, rtol=1e-8
+    )
+
+
+def test_fast_path_posterior_concentration():
+    blocks, y, (n_users, n_items) = _cf_problem(seed=2, n=1500)
+    fm = MyFMGibbsRegressor(rank=2, random_seed=42).fit(
+        None, y, X_rel=blocks, n_iter=60, n_kept_samples=40,
+        group_shapes=[n_users, n_items],
+    )
+    # noise precision 1/0.3² ≈ 11.1 — late alpha samples in [0.5, 2]×
+    alphas = np.asarray(
+        [h.alpha for h in fm.history_.hypers[-20:]]
+    )
+    assert 0.5 * 11.1 < alphas.mean() < 2.0 * 11.1
+    pred = fm.predict(None, blocks)
+    rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
+    assert rmse < 0.45
+
+
+def test_fast_path_classifier():
+    blocks, y_cont, (n_users, n_items) = _cf_problem(seed=6, n=1500)
+    y = (y_cont > np.median(y_cont)).astype(np.int64)
+    from myfm_tpu import MyFMGibbsClassifier
+
+    fm = MyFMGibbsClassifier(rank=2, random_seed=1).fit(
+        None, y, X_rel=blocks, n_iter=40, n_kept_samples=30,
+        group_shapes=[n_users, n_items],
+    )
+    proba = fm.predict_proba(None, blocks)
+    acc = float(((proba > 0.5) == (y > 0)).mean())
+    assert acc > 0.85
+
+
+def test_non_categorical_falls_back():
+    """Side features disable the fast path; 'categorical' raises."""
+    rng = np.random.RandomState(0)
+    X = sps.csr_matrix(rng.normal(size=(50, 4)))
+    y = rng.normal(size=50)
+    assert (
+        try_compile_categorical(X, [], None, None, np.float32) is None
+    )
+    with pytest.raises(ValueError):
+        MyFMGibbsRegressor(
+            rank=1, sweep_strategy="categorical"
+        ).fit(X, y, n_iter=2)
