@@ -134,6 +134,7 @@ class CategoricalTable:
     cont_in: jax.Array  # [K] int32 — tile starts with a continued entity
     cont_out: jax.Array  # [K] int32 — tile's last entity continues on
     last_slot: jax.Array  # [K] int32 — slot of the tile's last entity
+    ent_slots: jax.Array  # [K, S] int32 — entity id per slot (pad=B)
     final_part: jax.Array  # [B] int32 — flat (tile*S+slot) of the slot
     #     holding each entity's complete Gram (K*S = OOB for empty)
     cardinality: jax.Array  # [B] float — rows per entity
@@ -150,8 +151,8 @@ jax.tree_util.register_dataclass(
     CategoricalTable,
     data_fields=[
         "src", "slot", "ent_of_tile_row", "cont_in", "cont_out",
-        "last_slot", "final_part", "cardinality", "ent_main",
-        "noise_feat",
+        "last_slot", "ent_slots", "final_part", "cardinality",
+        "ent_main", "noise_feat",
     ],
     meta_fields=[
         "col_offset", "n_cols", "n_tiles", "tile_rows", "tile_entities",
@@ -214,6 +215,8 @@ def _pack_tiles(
     tile_first: List[int] = []  # first entity per tile
     tile_last: List[int] = []  # last entity per tile
     tile_last_slot: List[int] = []
+    tile_slot_ents: List[List[int]] = []  # per tile: entity per slot
+    cur_slot_ents: List[int] = []
     final_tile = np.full(n_entities, -1, dtype=np.int64)
     final_slot = np.zeros(n_entities, dtype=np.int64)
 
@@ -223,7 +226,7 @@ def _pack_tiles(
     cur_last = -1
 
     def close_tile():
-        nonlocal row_fill, ent_fill, cur_first, cur_last
+        nonlocal row_fill, ent_fill, cur_first, cur_last, cur_slot_ents
         pad_rows = T - row_fill
         if pad_rows:
             src_chunks.append(np.full(pad_rows, -1, dtype=np.int64))
@@ -235,10 +238,14 @@ def _pack_tiles(
         tile_first.append(cur_first)
         tile_last.append(cur_last)
         tile_last_slot.append(max(ent_fill - 1, 0))
+        tile_slot_ents.append(
+            cur_slot_ents + [n_entities] * (S - len(cur_slot_ents))
+        )
         row_fill = 0
         ent_fill = 0
         cur_first = -1
         cur_last = -1
+        cur_slot_ents = []
 
     pos = 0
     for u in range(n_entities):
@@ -256,6 +263,7 @@ def _pack_tiles(
             if cur_first < 0:
                 cur_first = u
             cur_last = u
+            cur_slot_ents.append(u)
             final_tile[u] = len(tile_first)  # current tile index
             final_slot[u] = ent_fill
             pos += take
@@ -279,6 +287,9 @@ def _pack_tiles(
         cont_in[1:] = same.astype(np.int32)
         cont_out[:-1] = same.astype(np.int32)
     last_slot = np.asarray(tile_last_slot, dtype=np.int32)
+    ent_slots = np.asarray(tile_slot_ents, dtype=np.int32).reshape(
+        n_tiles, S
+    )
 
     final_part = np.where(
         final_tile >= 0,
@@ -299,6 +310,7 @@ def _pack_tiles(
         cont_in,
         cont_out,
         last_slot,
+        ent_slots,
         final_part,
     )
 
@@ -323,7 +335,7 @@ def compile_categorical_table(
         # pathological cardinality profile (e.g. one row per entity at
         # huge B): let the caller fall back to the colored path
         return None
-    (src, slot, ent_tile, cont_in, cont_out, last_slot,
+    (src, slot, ent_tile, cont_in, cont_out, last_slot, ent_slots,
      final_part) = _pack_tiles(ent[order], order, n_entities, T, S)
     nt = src.shape[0]
     assert nt % T == 0
@@ -335,6 +347,7 @@ def compile_categorical_table(
         cont_in=jnp.asarray(cont_in),
         cont_out=jnp.asarray(cont_out),
         last_slot=jnp.asarray(last_slot),
+        ent_slots=jnp.asarray(ent_slots),
         final_part=jnp.asarray(final_part),
         cardinality=jnp.asarray(card),
         ent_main=jnp.asarray(ent.astype(np.int32)),

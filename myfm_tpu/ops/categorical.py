@@ -73,7 +73,7 @@ from .gibbs import (
     draw_mu,
     draw_w0,
 )
-from .pallas_gram import tile_gram
+from .pallas_gram import fused_tile_gram
 from .special import truncated_std_normal_onesided
 
 # rows processed per Gram chunk: bounds the [chunk, R]-sized
@@ -84,14 +84,23 @@ _CHUNK_ROWS = 1 << 20
 @dataclasses.dataclass
 class CategoricalState:
     """GibbsState plus the latent target tau (tau = z for the probit
-    tasks; for regression it is None and y is used directly)."""
+    tasks; for regression it is None and y is used directly) and the
+    carried residual moments sum_e = Σe, sum_e2 = Σe².
+
+    For regression the α and w0 conditionals need only these two
+    scalars, and both are maintained exactly in entity space from the
+    Gram statistics — the fast path never materializes e at all."""
 
     core: GibbsState
     tau: Optional[jax.Array]
+    sum_e: jax.Array
+    sum_e2: jax.Array
 
 
 jax.tree_util.register_dataclass(
-    CategoricalState, data_fields=["core", "tau"], meta_fields=[]
+    CategoricalState,
+    data_fields=["core", "tau", "sum_e", "sum_e2"],
+    meta_fields=[],
 )
 
 
@@ -164,8 +173,17 @@ def _table_pass(
     tau_tile,  # [NT] latent target in this table's tile order (pad 0)
     cfg: GibbsConfig,
     interpret: bool,
+    want_moments: bool = False,
 ):
-    """One table's w draw + factor scan; returns updated (w, V)."""
+    """One table's w draw + factor scan; returns (w, V, moments).
+
+    ``moments`` (when requested — the sweep's last table) is the exact
+    post-draw (Σe, Σe²), computed purely from Gram statistics:
+    with Δ_n = δw_u + Σ_r δ_r φ_rn,
+        Σe'  = Σe + Σ_u [δw card + Σ_r δ_r Sφ_r]
+        Σe'² = Σe² + 2 Σ_u [δw E1 + Σ_r δ_r EQφ⁰_r]
+               + Σ_u [δw² card + 2 δw Σ_r δ_r Sφ_r + δᵀ Gφ δ].
+    """
     t = plan.tables[ti]
     rank = V.shape[1]
     D = rank + 2
@@ -185,7 +203,14 @@ def _table_pass(
     Kc = max(1, min(K, _CHUNK_ROWS // T))
     n_chunks = -(-K // Kc)
     Kp = n_chunks * Kc
-    own_table = _pad_zero_row(V_t)
+
+    # own-table weight rows per (tile, slot): tiny ([K, S, 1+R]); the
+    # kernel reconstructs the own contribution from these with a
+    # one-hot matmul, so own rows are never gathered at [N] scale
+    wv_own = _pad_zero_row(
+        jnp.concatenate([w_t[:, None], V_t], axis=1)
+    )
+    wvsl = wv_own[t.ent_slots]  # [K, S, 1+R]
 
     def pad_k(arr, fill, tile_shape):
         flat = arr.reshape((K,) + tile_shape)
@@ -200,28 +225,42 @@ def _table_pass(
         cont_in=pad_k(t.cont_in, 0, ()),
         cont_out=pad_k(t.cont_out, 0, ()),
         last_slot=pad_k(t.last_slot, 0, ()),
-        own_ent=pad_k(t.ent_of_tile_row, t.n_cols, (T,)),
+        wvsl=pad_k(wvsl, 0.0, (S, rank + 1)),
         cross=[
             pad_k(m, t2.n_cols, (T,))
-            for m, t2 in zip(plan.cross_ent[ti], plan.tables)
+            for t2i, (m, t2) in enumerate(
+                zip(plan.cross_ent[ti], plan.tables)
+            )
+            if t2i != ti
         ],
         tau=pad_k(tau_tile, 0.0, (T,)),
     )
+    others = [t2 for t2i, t2 in enumerate(plan.tables) if t2i != ti]
 
     def chunk_body(carry, xc):
         src_c = xc["src"].reshape(Kc * T)
         ones_c = (src_c < plan.n_rows).astype(dtype)
-        ent_maps = [m.reshape(Kc * T) for m in xc["cross"]]
-        score_c, Q_c = _score_parts(plan, w, V, w0, ent_maps, ones_c)
-        e_c = score_c - xc["tau"].reshape(Kc * T)
-        own_c = own_table[xc["own_ent"].reshape(Kc * T)]
-        phi = Q_c - ones_c[:, None] * own_c
-        z = jnp.concatenate(
-            [ones_c[:, None], e_c[:, None], phi], axis=1
-        ).reshape(Kc, T, D)
-        flat_c, carry = tile_gram(
-            z, xc["slot"], xc["cont_in"], xc["cont_out"],
-            xc["last_slot"], S=S, carry_in=carry, interpret=interpret,
+        # contributions of the OTHER tables only (for one-hot tables
+        # phi = q − v_own is exactly their factor sum)
+        lin_o = jnp.zeros((Kc * T,), dtype)
+        Q_o = jnp.zeros((Kc * T, rank), dtype)
+        qs_o = jnp.zeros((Kc * T,), dtype)
+        for t2, mc in zip(others, xc["cross"]):
+            gth = _wv_rows(w, V, t2, mc.reshape(Kc * T))
+            lin_o = lin_o + gth[:, 0]
+            Q_o = Q_o + gth[:, 1:]
+            qs_o = qs_o + jnp.sum(gth[:, 1:] ** 2, axis=1)
+        lin_tau = (
+            ones_c * w0 + lin_o - xc["tau"].reshape(Kc * T)
+        )
+        other = jnp.concatenate(
+            [ones_c[:, None], lin_tau[:, None], qs_o[:, None], Q_o],
+            axis=1,
+        ).reshape(Kc, T, rank + 3)
+        flat_c, carry = fused_tile_gram(
+            other, xc["slot"], xc["wvsl"], xc["cont_in"],
+            xc["cont_out"], xc["last_slot"], S=S, carry_in=carry,
+            interpret=interpret,
         )
         return carry, flat_c
 
@@ -237,7 +276,7 @@ def _table_pass(
     card = G[:, 0, 0]
     E1 = G[:, 0, 1]
     Sphi = G[:, 0, 2:]  # [B, R]
-    EQphi = G[:, 1, 2:]  # [B, R]
+    EQphi0 = G[:, 1, 2:]  # [B, R] — pre-draw Σ e φ (kept for moments)
 
     lam_w = lambda_w[g_t]
     mu_wg = mu_w[g_t]
@@ -249,9 +288,11 @@ def _table_pass(
         w_new = _draw_normal(quad, lin, noise_w[t.noise_feat])
         dw = w_new - w_t
         # e_n += dw_u  ->  EQ_r += dw * Sphi_r  (E1 not reused)
-        EQphi = EQphi + dw[:, None] * Sphi
+        EQphi = EQphi0 + dw[:, None] * Sphi
     else:
         w_new = w_t
+        dw = jnp.zeros_like(w_t)
+        EQphi = EQphi0
 
     # --- factor scan in entity space, chunked --------------------------
     # Sequential per-coordinate draws over factors; the cross-factor
@@ -301,9 +342,27 @@ def _table_pass(
     else:
         V_new = V_t
 
+    moments = None
+    if want_moments:
+        dV = V_new - V_t  # [B, R]
+        E2 = jnp.sum(G[:, 1, 1])
+        dphi = jnp.sum(dV * Sphi, axis=1)  # [B] Σ_r δ_r Sφ_r
+        sum_e = jnp.sum(E1) + jnp.sum(dw * card) + jnp.sum(dphi)
+        cross = jnp.sum(dw * E1) + jnp.sum(dV * EQphi0)
+        quad_term = (
+            jnp.sum(dw * dw * card)
+            + 2.0 * jnp.sum(dw * dphi)
+            + jnp.einsum(
+                "br,brs,bs->", dV, G[:, 2:, 2:], dV,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+        sum_e2 = E2 + 2.0 * cross + quad_term
+        moments = (sum_e, sum_e2)
+
     w = lax.dynamic_update_slice(w, w_new, (t.col_offset,))
     V = lax.dynamic_update_slice(V, V_new, (t.col_offset, 0))
-    return w, V
+    return w, V, moments
 
 
 def categorical_sweep(
@@ -328,15 +387,30 @@ def categorical_sweep(
         jax.random.split(key, 9)
     )
 
-    e = core.e
+    sum_e = state.sum_e
+    sum_e2 = state.sum_e2
     if cfg.task == TASK_REGRESSION:
-        alpha = draw_alpha(k_alpha, e, cfg, n, dtype)
+        # α | e ~ Gamma((α₀+n)/2, rate=(β₀+Σe²)/2) from the carried
+        # moment (FMTrainer.hpp:127-145) — no [N] residual needed
+        shape = jnp.asarray((cfg.alpha_0 + n) / 2.0, dtype)
+        rate = (jnp.asarray(cfg.beta_0, dtype) + sum_e2) / 2.0
+        alpha = jax.random.gamma(k_alpha, shape, dtype=dtype) / rate
     else:
         alpha = jnp.asarray(1.0, dtype)
 
     w0 = core.w0
     if cfg.fit_w0:
-        w0, e = draw_w0(k_w0, e, w0, alpha, cfg, n)
+        # w0 conditional from Σe (FMTrainer.hpp:218-229); moments are
+        # updated exactly for the constant shift Δ = w0' − w0
+        quad = alpha * n + jnp.asarray(cfg.reg_0, dtype)
+        lin = alpha * (n * w0 - sum_e)
+        w0_new = _draw_normal(
+            quad, lin, jax.random.normal(k_w0, (), dtype=dtype)
+        )
+        d0 = w0_new - w0
+        sum_e2 = sum_e2 + 2.0 * d0 * sum_e + n * d0 * d0
+        sum_e = sum_e + n * d0
+        w0 = w0_new
 
     lambda_w = draw_lambda(
         k_lw, core.w, core.mu_w, plan.group_index, plan.group_counts, cfg
@@ -357,41 +431,58 @@ def categorical_sweep(
     )
 
     w, V = core.w, core.V
+    n_tables = len(plan.tables)
+    moments = None
     for ti, t in enumerate(plan.tables):
         if cfg.task == TASK_REGRESSION:
             tau_tile = y_tiles[ti]
         else:
             tau_tile = _pad_zero_row(state.tau[:, None])[t.src][:, 0]
-        w, V = _table_pass(
+        w, V, moments = _table_pass(
             plan, ti, w, V, w0, alpha, lambda_w, mu_w, lambda_V, mu_V,
             plan.group_index, noise_w, noise_V, tau_tile, cfg, interpret,
+            want_moments=(
+                cfg.task == TASK_REGRESSION and ti == n_tables - 1
+            ),
         )
 
-    # --- task-specific residual refresh --------------------------------
-    score, _Q = score_and_q(plan, w0, w, V)
     cutpoints = core.cutpoints
     oprobit_alpha = core.oprobit_alpha
     n_mh_accept = core.n_mh_accept
     tau = state.tau
+    e = core.e
     if cfg.task == TASK_REGRESSION:
-        e = score - y
-    elif cfg.task == TASK_CLASSIFICATION:
-        t_draw = truncated_std_normal_onesided(k_e, -score, y > 0)
-        tau = score + t_draw  # latent z
-        e = -t_draw
-    elif cfg.task == TASK_ORDERED:
-        from .oprobit import alpha_to_gamma, oprobit_mh_step, sample_z_residual
+        # no residual refresh needed: the last table pass computed the
+        # exact post-sweep moments in entity space (φ's last snapshot
+        # already reflects every earlier table through the weights)
+        sum_e, sum_e2 = moments
+    else:
+        # probit tasks redraw the latent target per row
+        # (FMTrainer.hpp:493-522), which requires the score
+        score, _Q = score_and_q(plan, w0, w, V)
+        if cfg.task == TASK_CLASSIFICATION:
+            t_draw = truncated_std_normal_onesided(k_e, -score, y > 0)
+            tau = score + t_draw  # latent z
+            e = -t_draw
+        elif cfg.task == TASK_ORDERED:
+            from .oprobit import (
+                alpha_to_gamma,
+                oprobit_mh_step,
+                sample_z_residual,
+            )
 
-        k_mh, k_z = jax.random.split(k_e)
-        oprobit_alpha, n_mh_accept = oprobit_mh_step(
-            k_mh, score, y, core.oprobit_alpha, core.n_mh_accept,
-            cfg.n_class, cfg.reg_0, float(cfg.nu_oprobit),
-        )
-        cutpoints = alpha_to_gamma(oprobit_alpha)
-        e = sample_z_residual(k_z, score, y, cutpoints, cfg.n_class)
-        tau = score - e  # z
-    else:  # pragma: no cover
-        raise NotImplementedError(cfg.task)
+            k_mh, k_z = jax.random.split(k_e)
+            oprobit_alpha, n_mh_accept = oprobit_mh_step(
+                k_mh, score, y, core.oprobit_alpha, core.n_mh_accept,
+                cfg.n_class, cfg.reg_0, float(cfg.nu_oprobit),
+            )
+            cutpoints = alpha_to_gamma(oprobit_alpha)
+            e = sample_z_residual(k_z, score, y, cutpoints, cfg.n_class)
+            tau = score - e  # z
+        else:  # pragma: no cover
+            raise NotImplementedError(cfg.task)
+        sum_e = jnp.sum(e)
+        sum_e2 = jnp.sum(e * e)
 
     new_core = GibbsState(
         w0=w0, w=w, V=V, e=e, alpha=alpha,
@@ -399,7 +490,9 @@ def categorical_sweep(
         cutpoints=cutpoints, oprobit_alpha=oprobit_alpha,
         n_mh_accept=n_mh_accept,
     )
-    return CategoricalState(core=new_core, tau=tau)
+    return CategoricalState(
+        core=new_core, tau=tau, sum_e=sum_e, sum_e2=sum_e2
+    )
 
 
 def init_categorical_state(
@@ -424,7 +517,9 @@ def init_categorical_state(
             # explicit copy: tau lives in the donated state while y is
             # a regular argument — aliasing them trips buffer donation
             tau = jnp.array(y, dtype=score.dtype, copy=True)
-    return CategoricalState(core=core, tau=tau)
+    return CategoricalState(
+        core=core, tau=tau, sum_e=jnp.sum(e), sum_e2=jnp.sum(e * e)
+    )
 
 
 def make_y_tiles(plan: CategoricalPlan, y: jax.Array):

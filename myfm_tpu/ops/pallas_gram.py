@@ -149,6 +149,217 @@ def tile_gram(
     return out.reshape(K * S, D, D), carry_out
 
 
+def _fused_gram_kernel(
+    # scalar prefetch
+    cont_in_ref,  # [K] int32
+    cont_out_ref,  # [K] int32
+    last_slot_ref,  # [K] int32
+    # array operands
+    slot_ref,  # [1, T, 1] int32
+    other_ref,  # [1, T, 3+R] f32: [ones | lin−tau(+w0) | qs_other | Q_other]
+    wvsl_ref,  # [1, S, 1+R] f32: own [w | V] rows per slot
+    carry_in_ref,  # [D, D]
+    # outputs
+    out_ref,  # [1, S*D, D]
+    carry_out_ref,  # [D, D]
+    # scratch
+    a_ref,  # [T, S*D]
+    z_ref,  # [T, D]
+    carry_ref,  # [D, D]
+    *,
+    interpret_build: bool = False,
+):
+    """Fused Gram: reconstructs the own-table contribution via a
+    one-hot matmul from the tiny per-tile [S, 1+R] weight slice, builds
+    z = [1 | e | phi] in VMEM, and accumulates all S partial Grams with
+    one MXU matmul.  For one-hot tables phi = q − v_own is exactly the
+    OTHER tables' factor sum, so the caller never gathers own rows at
+    [N] scale, and no [N, D] z array ever exists in HBM."""
+    _, T, C = other_ref.shape
+    SD = a_ref.shape[1]
+    D = z_ref.shape[1]
+    S = SD // D
+    R = D - 2
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        carry_ref[...] = carry_in_ref[...]
+
+    slot = slot_ref[0, :, 0]
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+    other = other_ref[0]
+    ones = other[:, 0]
+    m = (slot[:, None] == iota_s).astype(other.dtype) * ones[:, None]
+    own = jax.lax.dot_general(  # [T, 1+R] = M @ own-slot weights
+        m,
+        wvsl_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=other.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    phi = other[:, 3:]  # Q_other == q − v_own for one-hot tables
+    qf = phi + own[:, 1:]
+    score = (
+        other[:, 1]
+        + own[:, 0]
+        + 0.5
+        * (
+            jnp.sum(qf * qf, axis=1)
+            - other[:, 2]
+            - jnp.sum(own[:, 1:] ** 2, axis=1)
+        )
+    )
+    e = score * ones
+    z_ref[:, 0] = ones
+    z_ref[:, 1] = e
+    z_ref[:, 2:] = phi
+    # A[t, s*D + d] = z[t, d] * m[t, s], built with two whole-array
+    # vector ops instead of S strided slice writes (which dominated
+    # kernel time at S = 16)
+    z = z_ref[...]
+    if interpret_build:
+        a_ref[...] = (m[:, :, None] * z[:, None, :]).reshape(T, S * D)
+    else:
+        # pltpu.repeat is a block-tile repeat ([z|z|..|z]) — exactly
+        # the z layout needed; the slot mask comes from an iota//D
+        # compare (pad rows have all-zero z, so no extra masking)
+        z_til = pltpu.repeat(z, S, axis=1)  # [T, S*D]
+        s_of_col = (
+            jax.lax.broadcasted_iota(jnp.int32, (T, S * D), 1) // D
+        )
+        a_ref[...] = z_til * (slot[:, None] == s_of_col).astype(
+            z.dtype
+        )
+    out_ref[0] = jax.lax.dot_general(
+        a_ref[...],
+        z_ref[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=other.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(cont_in_ref[g] > 0)
+    def _():
+        out_ref[0, 0:D, :] += carry_ref[...]
+
+    @pl.when(cont_out_ref[g] > 0)
+    def _():
+        off = last_slot_ref[g] * D
+        carry_ref[...] = out_ref[0, pl.ds(off, D), :]
+
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _():
+        carry_out_ref[...] = carry_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("S", "interpret"))
+def fused_tile_gram(
+    other: jax.Array,  # [K, T, 3+R]
+    slot: jax.Array,  # [K, T] int32
+    wvsl: jax.Array,  # [K, S, 1+R]
+    cont_in: jax.Array,
+    cont_out: jax.Array,
+    last_slot: jax.Array,
+    S: int,
+    carry_in: Optional[jax.Array] = None,
+    interpret: bool = False,
+):
+    """Returns (flat partial Grams [K*S, D, D], carry_out [D, D])."""
+    K, T, C = other.shape
+    R = C - 3
+    D = R + 2
+    if carry_in is None:
+        carry_in = jnp.zeros((D, D), other.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, T, 1), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, C), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, R + 1), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda k, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S * D, D), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda k, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((T, S * D), other.dtype),
+            pltpu.VMEM((T, D), other.dtype),
+            pltpu.VMEM((D, D), other.dtype),
+        ],
+    )
+    out, carry_out = pl.pallas_call(
+        functools.partial(_fused_gram_kernel, interpret_build=interpret),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((K, S * D, D), other.dtype),
+            jax.ShapeDtypeStruct((D, D), other.dtype),
+        ),
+        interpret=interpret,
+    )(cont_in, cont_out, last_slot, slot.reshape(K, T, 1), other,
+      wvsl, carry_in)
+    return out.reshape(K * S, D, D), carry_out
+
+
+def fused_tile_gram_reference(
+    other, slot, wvsl, cont_in, cont_out, last_slot, S,
+    carry_in=None,
+):
+    """jnp oracle of fused_tile_gram."""
+    K, T, C = other.shape
+    R = C - 3
+    D = R + 2
+    ones = other[:, :, 0]
+    m = (
+        slot[:, :, None] == jnp.arange(S)[None, None, :]
+    ).astype(other.dtype) * ones[:, :, None]
+    own = jnp.einsum(
+        "kts,ksc->ktc", m, wvsl,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    phi = other[:, :, 3:]
+    qf = phi + own[:, :, 1:]
+    score = (
+        other[:, :, 1]
+        + own[:, :, 0]
+        + 0.5
+        * (
+            jnp.sum(qf * qf, axis=2)
+            - other[:, :, 2]
+            - jnp.sum(own[:, :, 1:] ** 2, axis=2)
+        )
+    )
+    e = score * ones
+    z = jnp.concatenate(
+        [ones[:, :, None], e[:, :, None], phi], axis=2
+    )
+    partial = jnp.einsum(
+        "kts,ktd,kte->ksde", m, z, z,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if carry_in is None:
+        carry_in = jnp.zeros((D, D), other.dtype)
+
+    def step(carry, xs):
+        p, ci, co, lo = xs
+        p = p.at[0].add(jnp.where(ci > 0, carry, 0.0))
+        new_carry = jnp.where(co > 0, p[lo], carry)
+        return new_carry, p
+
+    carry_out, out = jax.lax.scan(
+        step, carry_in, (partial, cont_in, cont_out, last_slot)
+    )
+    return out.reshape(K * S, D, D), carry_out
+
+
 def tile_gram_reference(
     rows: jax.Array,
     slot: jax.Array,

@@ -147,9 +147,24 @@ class GibbsTrainer:
         callback: Optional[
             Callable[[int, FM, FMHyperParameters, LearningHistory], bool]
         ] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
     ) -> Tuple[Predictor, LearningHistory]:
+        """Run the chain.  With ``checkpoint_path`` + ``checkpoint_every``
+        the full chain state is dumped every N sweeps; ``resume=True``
+        continues from the checkpoint and reproduces the exact chain an
+        uninterrupted run would have produced (keys are derived from
+        (seed, iteration), so no RNG state needs saving)."""
+        import os
+
+        from .checkpoint import load_checkpoint, save_checkpoint
+
         master = jax.random.PRNGKey(self.random_seed)
         state = self._initialize(jax.random.fold_in(master, 0))
+        start_it = 0
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            state, start_it = load_checkpoint(checkpoint_path, state)
 
         predictor = Predictor(
             self.rank, self.plan.n_features, self.cfg.task, self.dtype
@@ -157,7 +172,7 @@ class GibbsTrainer:
         history = LearningHistory()
 
         y_arg = self.y_int if self.cfg.task == TASK_ORDERED else self.y
-        for it in range(n_iter):
+        for it in range(start_it, n_iter):
             key = jax.random.fold_in(master, 1 + it)
             state = self._sweep(self.plan, state, y_arg, key, self.cfg)
 
@@ -170,6 +185,12 @@ class GibbsTrainer:
                 should_stop = callback(it, view, history.hypers[-1], history)
                 if should_stop:
                     break
+            if (
+                checkpoint_path
+                and checkpoint_every
+                and (it + 1) % checkpoint_every == 0
+            ):
+                save_checkpoint(checkpoint_path, state, it + 1)
 
         if self.cfg.task == TASK_ORDERED and state.n_mh_accept is not None:
             history.n_mh_accept = [int(state.n_mh_accept)]
@@ -237,16 +258,26 @@ class CategoricalGibbsTrainer:
         callback: Optional[
             Callable[[int, FM, FMHyperParameters, LearningHistory], bool]
         ] = None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
     ) -> Tuple[Predictor, LearningHistory]:
+        import os
+
+        from .checkpoint import load_checkpoint, save_checkpoint
+
         master = jax.random.PRNGKey(self.random_seed)
         state = self._initialize(jax.random.fold_in(master, 0))
+        start_it = 0
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            state, start_it = load_checkpoint(checkpoint_path, state)
 
         predictor = Predictor(
             self.rank, self.plan.n_features, self.cfg.task, self.dtype
         )
         history = LearningHistory()
         y_arg = self.y_int if self.cfg.task == TASK_ORDERED else self.y
-        for it in range(n_iter):
+        for it in range(start_it, n_iter):
             key = jax.random.fold_in(master, 1 + it)
             state = self._sweep(
                 self.plan, state, y_arg, self.y_tiles, key, self.cfg,
@@ -264,6 +295,12 @@ class CategoricalGibbsTrainer:
                 )
                 if should_stop:
                     break
+            if (
+                checkpoint_path
+                and checkpoint_every
+                and (it + 1) % checkpoint_every == 0
+            ):
+                save_checkpoint(checkpoint_path, state, it + 1)
 
         if (
             self.cfg.task == TASK_ORDERED

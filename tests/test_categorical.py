@@ -113,10 +113,10 @@ def test_table_pass_matches_numpy_oracle():
     tau_tiles = make_y_tiles(plan, jnp.asarray(tau))
     w_j, V_j = jnp.asarray(w), jnp.asarray(V)
     for ti in range(2):
-        w_j, V_j = _table_pass(
+        w_j, V_j, moments = _table_pass(
             plan, ti, w_j, V_j, w0, alpha, lambda_w, mu_w, lambda_V,
             mu_V, plan.group_index, noise_w, noise_V, tau_tiles[ti],
-            cfg, True,
+            cfg, True, want_moments=(ti == 1),
         )
     w2, V2 = np.asarray(w_j), np.asarray(V_j)
 
@@ -174,6 +174,11 @@ def test_table_pass_matches_numpy_oracle():
 
     np.testing.assert_allclose(w2, w_o, rtol=1e-8)
     np.testing.assert_allclose(V2, V_o, rtol=1e-8)
+    # exact residual moments from the Gram algebra vs numpy e
+    np.testing.assert_allclose(float(moments[0]), e_o.sum(), rtol=1e-8)
+    np.testing.assert_allclose(
+        float(moments[1]), (e_o**2).sum(), rtol=1e-8
+    )
 
 
 def _cf_problem(seed=0, n=600, n_users=31, n_items=19, noise=0.3):
@@ -216,9 +221,11 @@ def test_sweep_residual_invariant():
     score, _ = score_and_q(
         plan, state.core.w0, state.core.w, state.core.V
     )
-    np.testing.assert_allclose(
-        np.asarray(state.core.e), np.asarray(score - yj), rtol=1e-8
-    )
+    e_true = np.asarray(score - yj)
+    np.testing.assert_allclose(float(state.sum_e), e_true.sum(),
+                               rtol=1e-8)
+    np.testing.assert_allclose(float(state.sum_e2), (e_true**2).sum(),
+                               rtol=1e-8)
 
 
 def test_blocked_equals_grouped_flattened():
