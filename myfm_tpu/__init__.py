@@ -24,6 +24,10 @@ from .gibbs import (
     MyFMGibbsRegressor,
     MyFMOrderedProbit,
 )
+from .ops.special import (  # reference declare_module.hpp:400-403
+    mean_var_truncated_normal_left,
+    mean_var_truncated_normal_right,
+)
 from .predictor import Predictor, VariationalPredictor
 from .relational import RelationBlock
 from .variational import (
@@ -60,5 +64,7 @@ __all__ = [
     "VariationalFMClassifier",
     "Predictor",
     "VariationalPredictor",
+    "mean_var_truncated_normal_left",
+    "mean_var_truncated_normal_right",
     "__version__",
 ]

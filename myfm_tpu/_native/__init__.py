@@ -50,23 +50,35 @@ def _load():
         lib = ctypes.CDLL(_LIB)
     except OSError:
         return None
+    i64 = ctypes.c_int64
+    p64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    p32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
     fn = lib.myfm_greedy_color
     fn.restype = None
-    fn.argtypes = [
-        ctypes.c_int64,
-        ctypes.c_int64,
-        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    fn.argtypes = [i64, i64, p64, p32, p32]
+
+    pr = lib.myfm_packed_rows
+    pr.restype = i64
+    pr.argtypes = [i64, p64, i64, i64]
+
+    pt = lib.myfm_pack_tiles
+    pt.restype = None
+    pt.argtypes = [
+        i64, i64, p64, p64, i64, i64, i64,
+        p32, p32, p32, p32, p32, p32, p32, p32,
     ]
-    return fn
+    return fn, pr, pt
 
 
-_fn = _load()
+_fns = _load()
 
-if _fn is None:  # pragma: no cover - depends on toolchain availability
+if _fns is None:  # pragma: no cover - depends on toolchain availability
     greedy_color_native = None
+    packed_rows_native = None
+    pack_tiles_native = None
 else:
+    _fn, _pr, _pt = _fns
 
     def greedy_color_native(
         n_rows: int, n_cols: int, indptr, indices
@@ -78,3 +90,34 @@ else:
         assign = np.zeros(n_cols, dtype=np.int32)
         _fn(n_rows, n_cols, indptr, indices, assign)
         return assign
+
+    def packed_rows_native(counts, T: int, S: int) -> int:
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+        return int(_pr(len(counts), counts, T, S))
+
+    def pack_tiles_native(order, counts, n: int, T: int, S: int):
+        """C++ greedy tile packing (design_categorical._pack_tiles);
+        returns the same tuple as the Python implementation, with one
+        trailing all-pad tile already appended."""
+        order = np.ascontiguousarray(order, dtype=np.int64)
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+        n_entities = len(counts)
+        n_out = int(_pr(n_entities, counts, T, S)) + T
+        K = n_out // T
+        src = np.empty(n_out, dtype=np.int32)
+        slot = np.empty(n_out, dtype=np.int32)
+        ent = np.empty(n_out, dtype=np.int32)
+        cont_in = np.empty(K, dtype=np.int32)
+        cont_out = np.empty(K, dtype=np.int32)
+        last_slot = np.empty(K, dtype=np.int32)
+        ent_slots = np.empty(K * S, dtype=np.int32)
+        final_part = np.empty(n_entities, dtype=np.int32)
+        _pt(
+            n, n_entities, order, counts, T, S, n_out,
+            src, slot, ent, cont_in, cont_out, last_slot, ent_slots,
+            final_part,
+        )
+        return (
+            src, slot, ent, cont_in, cont_out, last_slot,
+            ent_slots.reshape(K, S), final_part,
+        )

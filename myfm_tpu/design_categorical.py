@@ -37,18 +37,25 @@ from scipy import sparse as sps
 import jax
 import jax.numpy as jnp
 
+try:  # native C++ planner (ctypes); numpy fallbacks below
+    from ._native import pack_tiles_native, packed_rows_native
+except Exception:  # pragma: no cover
+    pack_tiles_native = packed_rows_native = None
+
 DEFAULT_TILE_ROWS = 1024  # T (measured sweet spot on v5e at D=34)
 DEFAULT_TILE_ENTITIES = 8  # S
 
 
 # VMEM budget for the Gram kernel's A-matrix scratch (T x S*D f32);
 # the whole kernel footprint is ~2-3x this.
-_A_SCRATCH_BYTES = 4 << 20
+_A_SCRATCH_BYTES = 5 << 20
 
 
 def _packed_rows(counts: np.ndarray, T: int, S: int) -> int:
     """Exact padded row count of the greedy packing, computed from the
     cardinality sequence without materializing the layout."""
+    if packed_rows_native is not None:
+        return packed_rows_native(counts, T, S)
     total = 0
     row_fill = 0
     ent_fill = 0
@@ -77,7 +84,7 @@ def choose_tiling(counts: np.ndarray, T: int, S: int, rank: int = 32):
     n = max(int(counts.sum()), 1)
     D = rank + 2
     cands = [
-        (T, S), (T, 2 * S), (T, 4 * S),
+        (2 * T, S), (2 * T, 2 * S), (T, S), (T, 2 * S), (T, 4 * S),
         (T // 2, 4 * S), (T // 4, 4 * S), (T // 4, 8 * S),
     ]
     best = None
@@ -328,15 +335,20 @@ def compile_categorical_table(
 ) -> Optional[CategoricalTable]:
     ent = np.asarray(ent, dtype=np.int64)
     order = np.argsort(ent, kind="stable")
-    T, S, inflation = choose_tiling(
-        np.bincount(ent, minlength=n_entities), T, S, rank
-    )
+    counts = np.bincount(ent, minlength=n_entities)
+    T, S, inflation = choose_tiling(counts, T, S, rank)
     if max_inflation is not None and inflation > max_inflation:
         # pathological cardinality profile (e.g. one row per entity at
         # huge B): let the caller fall back to the colored path
         return None
-    (src, slot, ent_tile, cont_in, cont_out, last_slot, ent_slots,
-     final_part) = _pack_tiles(ent[order], order, n_entities, T, S)
+    if pack_tiles_native is not None:
+        (src, slot, ent_tile, cont_in, cont_out, last_slot, ent_slots,
+         final_part) = pack_tiles_native(
+            order, counts, ent.shape[0], T, S
+        )
+    else:
+        (src, slot, ent_tile, cont_in, cont_out, last_slot, ent_slots,
+         final_part) = _pack_tiles(ent[order], order, n_entities, T, S)
     nt = src.shape[0]
     assert nt % T == 0
     card = np.bincount(ent, minlength=n_entities).astype(dtype)

@@ -156,7 +156,8 @@ def _fused_gram_kernel(
     last_slot_ref,  # [K] int32
     # array operands
     slot_ref,  # [1, T, 1] int32
-    other_ref,  # [1, T, 3+R] f32: [ones | lin−tau(+w0) | qs_other | Q_other]
+    meta_ref,  # [1, T, 3] f32: [ones | lin−tau(+w0) | qs_other]
+    q_ref,  # [1, T, R] f32: Q_other (= phi for one-hot tables)
     wvsl_ref,  # [1, S, 1+R] f32: own [w | V] rows per slot
     carry_in_ref,  # [D, D]
     # outputs
@@ -175,7 +176,7 @@ def _fused_gram_kernel(
     one MXU matmul.  For one-hot tables phi = q − v_own is exactly the
     OTHER tables' factor sum, so the caller never gathers own rows at
     [N] scale, and no [N, D] z array ever exists in HBM."""
-    _, T, C = other_ref.shape
+    _, T, _ = meta_ref.shape
     SD = a_ref.shape[1]
     D = z_ref.shape[1]
     S = SD // D
@@ -188,25 +189,25 @@ def _fused_gram_kernel(
 
     slot = slot_ref[0, :, 0]
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
-    other = other_ref[0]
-    ones = other[:, 0]
-    m = (slot[:, None] == iota_s).astype(other.dtype) * ones[:, None]
+    meta = meta_ref[0]
+    ones = meta[:, 0]
+    m = (slot[:, None] == iota_s).astype(meta.dtype) * ones[:, None]
     own = jax.lax.dot_general(  # [T, 1+R] = M @ own-slot weights
         m,
         wvsl_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=other.dtype,
+        preferred_element_type=meta.dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
-    phi = other[:, 3:]  # Q_other == q − v_own for one-hot tables
+    phi = q_ref[0]  # Q_other == q − v_own for one-hot tables
     qf = phi + own[:, 1:]
     score = (
-        other[:, 1]
+        meta[:, 1]
         + own[:, 0]
         + 0.5
         * (
             jnp.sum(qf * qf, axis=1)
-            - other[:, 2]
+            - meta[:, 2]
             - jnp.sum(own[:, 1:] ** 2, axis=1)
         )
     )
@@ -235,8 +236,9 @@ def _fused_gram_kernel(
         a_ref[...],
         z_ref[...],
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=other.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=meta.dtype,
+        precision=jax.lax.Precision.HIGHEST,  # Mosaic supports only
+        # DEFAULT (bf16) and HIGHEST; HIGH raises NotImplementedError
     )
 
     @pl.when(cont_in_ref[g] > 0)
@@ -255,7 +257,8 @@ def _fused_gram_kernel(
 
 @functools.partial(jax.jit, static_argnames=("S", "interpret"))
 def fused_tile_gram(
-    other: jax.Array,  # [K, T, 3+R]
+    meta: jax.Array,  # [K, T, 3]: [ones | lin−tau(+w0) | qs_other]
+    q_other: jax.Array,  # [K, T, R]
     slot: jax.Array,  # [K, T] int32
     wvsl: jax.Array,  # [K, S, 1+R]
     cont_in: jax.Array,
@@ -266,18 +269,19 @@ def fused_tile_gram(
     interpret: bool = False,
 ):
     """Returns (flat partial Grams [K*S, D, D], carry_out [D, D])."""
-    K, T, C = other.shape
-    R = C - 3
+    K, T, R = q_other.shape
     D = R + 2
     if carry_in is None:
-        carry_in = jnp.zeros((D, D), other.dtype)
+        carry_in = jnp.zeros((D, D), q_other.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(K,),
         in_specs=[
             pl.BlockSpec((1, T, 1), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, C), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((1, T, 3), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, R), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, R + 1), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -291,49 +295,48 @@ def fused_tile_gram(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((T, S * D), other.dtype),
-            pltpu.VMEM((T, D), other.dtype),
-            pltpu.VMEM((D, D), other.dtype),
+            pltpu.VMEM((T, S * D), q_other.dtype),
+            pltpu.VMEM((T, D), q_other.dtype),
+            pltpu.VMEM((D, D), q_other.dtype),
         ],
     )
     out, carry_out = pl.pallas_call(
         functools.partial(_fused_gram_kernel, interpret_build=interpret),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((K, S * D, D), other.dtype),
-            jax.ShapeDtypeStruct((D, D), other.dtype),
+            jax.ShapeDtypeStruct((K, S * D, D), q_other.dtype),
+            jax.ShapeDtypeStruct((D, D), q_other.dtype),
         ),
         interpret=interpret,
-    )(cont_in, cont_out, last_slot, slot.reshape(K, T, 1), other,
-      wvsl, carry_in)
+    )(cont_in, cont_out, last_slot, slot.reshape(K, T, 1), meta,
+      q_other, wvsl, carry_in)
     return out.reshape(K * S, D, D), carry_out
 
 
 def fused_tile_gram_reference(
-    other, slot, wvsl, cont_in, cont_out, last_slot, S,
+    meta, q_other, slot, wvsl, cont_in, cont_out, last_slot, S,
     carry_in=None,
 ):
     """jnp oracle of fused_tile_gram."""
-    K, T, C = other.shape
-    R = C - 3
+    K, T, R = q_other.shape
     D = R + 2
-    ones = other[:, :, 0]
+    ones = meta[:, :, 0]
     m = (
         slot[:, :, None] == jnp.arange(S)[None, None, :]
-    ).astype(other.dtype) * ones[:, :, None]
+    ).astype(meta.dtype) * ones[:, :, None]
     own = jnp.einsum(
         "kts,ksc->ktc", m, wvsl,
         precision=jax.lax.Precision.HIGHEST,
     )
-    phi = other[:, :, 3:]
+    phi = q_other
     qf = phi + own[:, :, 1:]
     score = (
-        other[:, :, 1]
+        meta[:, :, 1]
         + own[:, :, 0]
         + 0.5
         * (
             jnp.sum(qf * qf, axis=2)
-            - other[:, :, 2]
+            - meta[:, :, 2]
             - jnp.sum(own[:, :, 1:] ** 2, axis=2)
         )
     )
@@ -346,7 +349,7 @@ def fused_tile_gram_reference(
         precision=jax.lax.Precision.HIGHEST,
     )
     if carry_in is None:
-        carry_in = jnp.zeros((D, D), other.dtype)
+        carry_in = jnp.zeros((D, D), meta.dtype)
 
     def step(carry, xs):
         p, ci, co, lo = xs
