@@ -186,13 +186,20 @@ class CategoricalPlan:
     n_rows: int = dataclasses.field(metadata=dict(static=True))
     n_features: int = dataclasses.field(metadata=dict(static=True))
     n_groups: int = dataclasses.field(metadata=dict(static=True))
+    # real (unmasked) rows across ALL shards — the n in the alpha/w0
+    # conditionals; equals n_rows on single-chip plans
+    n_real: int = dataclasses.field(default=-1, metadata=dict(static=True))
+
+    def __post_init__(self):
+        if self.n_real < 0:
+            object.__setattr__(self, "n_real", self.n_rows)
 
 
 jax.tree_util.register_dataclass(
     CategoricalPlan,
     data_fields=["tables", "cross_ent", "group_index", "group_counts",
                  "row_mask"],
-    meta_fields=["n_rows", "n_features", "n_groups"],
+    meta_fields=["n_rows", "n_features", "n_groups", "n_real"],
 )
 
 
@@ -332,15 +339,28 @@ def compile_categorical_table(
     S: int = DEFAULT_TILE_ENTITIES,
     rank: int = 32,
     max_inflation: Optional[float] = None,
+    fixed_ts: Optional[Tuple[int, int]] = None,
+    pad_tiles_to: Optional[int] = None,
 ) -> Optional[CategoricalTable]:
+    """``fixed_ts`` pins (T, S) (SPMD shards must agree on tiling);
+    ``pad_tiles_to`` appends extra all-pad tiles so every shard's
+    arrays share a static shape."""
     ent = np.asarray(ent, dtype=np.int64)
-    order = np.argsort(ent, kind="stable")
-    counts = np.bincount(ent, minlength=n_entities)
-    T, S, inflation = choose_tiling(counts, T, S, rank)
-    if max_inflation is not None and inflation > max_inflation:
-        # pathological cardinality profile (e.g. one row per entity at
-        # huge B): let the caller fall back to the colored path
-        return None
+    # rows with ent == n_entities are masked (SPMD row padding): they
+    # never enter any tile; their ent_main stays the pad id so every
+    # gather sees the zero pad row
+    real = ent < n_entities
+    order = np.argsort(ent[real], kind="stable")
+    order = np.nonzero(real)[0][order]
+    counts = np.bincount(ent[real], minlength=n_entities)
+    if fixed_ts is not None:
+        T, S = fixed_ts
+    else:
+        T, S, inflation = choose_tiling(counts, T, S, rank)
+        if max_inflation is not None and inflation > max_inflation:
+            # pathological cardinality profile (e.g. one row per entity
+            # at huge B): let the caller fall back to the colored path
+            return None
     if pack_tiles_native is not None:
         (src, slot, ent_tile, cont_in, cont_out, last_slot, ent_slots,
          final_part) = pack_tiles_native(
@@ -351,7 +371,25 @@ def compile_categorical_table(
          final_part) = _pack_tiles(ent[order], order, n_entities, T, S)
     nt = src.shape[0]
     assert nt % T == 0
-    card = np.bincount(ent, minlength=n_entities).astype(dtype)
+    if pad_tiles_to is not None and nt // T < pad_tiles_to:
+        extra = pad_tiles_to - nt // T
+        n = ent.shape[0]
+        src = np.concatenate(
+            [src, np.full(extra * T, n, np.int32)]
+        )
+        slot = np.concatenate([slot, np.zeros(extra * T, np.int32)])
+        ent_tile = np.concatenate(
+            [ent_tile, np.full(extra * T, n_entities, np.int32)]
+        )
+        zeros_k = np.zeros(extra, np.int32)
+        cont_in = np.concatenate([cont_in, zeros_k])
+        cont_out = np.concatenate([cont_out, zeros_k])
+        last_slot = np.concatenate([last_slot, zeros_k])
+        ent_slots = np.concatenate(
+            [ent_slots, np.full((extra, S), n_entities, np.int32)]
+        )
+        nt = src.shape[0]
+    card = counts.astype(dtype)
     return CategoricalTable(
         src=jnp.asarray(src),
         slot=jnp.asarray(slot),
@@ -374,20 +412,16 @@ def compile_categorical_table(
     )
 
 
-def try_compile_categorical(
+def extract_categorical_mappings(
     X: Optional[sps.spmatrix],
     blocks: Sequence,
     grouping: Optional[np.ndarray],
-    n_groups: Optional[int],
     dtype,
-    T: int = DEFAULT_TILE_ROWS,
-    S: int = DEFAULT_TILE_ENTITIES,
-    rank: int = 32,
-    max_inflation: float = 4.0,
-) -> Optional[CategoricalPlan]:
-    """Compile the fast-path plan, or None if any table is not
-    categorical.  Mirrors compile_design's grouping semantics."""
-    dtype = np.dtype(dtype)
+):
+    """(mappings, n_rows, n_features, grouping) for an all-categorical
+    design, or None.  A mapping is (ent [N], B, col_offset).  A grouped
+    flattened main table splits into one table per column group so
+    blocked ≡ flattened stays exact."""
     if X is None:
         if not blocks:
             return None
@@ -406,11 +440,6 @@ def try_compile_categorical(
         if ent is not None:
             mappings.append((ent, X.shape[1], 0))
         elif grouping is not None:
-            # A flattened design whose column groups are each one-hot
-            # (e.g. [date | user | item] with group_shapes) splits into
-            # one categorical table per contiguous column group — this
-            # keeps blocked ≡ flattened exact (same table
-            # decomposition ⇒ same chain).
             g_main = grouping[: X.shape[1]]
             if g_main.size and (np.diff(g_main) >= 0).all():
                 bounds = np.searchsorted(
@@ -441,6 +470,27 @@ def try_compile_categorical(
         offset += b.feature_size
     if not mappings:
         return None
+    return mappings, n_rows, n_features, grouping
+
+
+def try_compile_categorical(
+    X: Optional[sps.spmatrix],
+    blocks: Sequence,
+    grouping: Optional[np.ndarray],
+    n_groups: Optional[int],
+    dtype,
+    T: int = DEFAULT_TILE_ROWS,
+    S: int = DEFAULT_TILE_ENTITIES,
+    rank: int = 32,
+    max_inflation: float = 4.0,
+) -> Optional[CategoricalPlan]:
+    """Compile the fast-path plan, or None if any table is not
+    categorical.  Mirrors compile_design's grouping semantics."""
+    dtype = np.dtype(dtype)
+    extracted = extract_categorical_mappings(X, blocks, grouping, dtype)
+    if extracted is None:
+        return None
+    mappings, n_rows, n_features, grouping = extracted
 
     if grouping is None:
         grouping = np.zeros(n_features, dtype=np.int32)

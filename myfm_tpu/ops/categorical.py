@@ -150,8 +150,10 @@ def _score_parts(plan: CategoricalPlan, w, V, w0, ent_maps, ones):
 
 def score_and_q(plan: CategoricalPlan, w0, w, V):
     """Forward pass in main row order (gathers from the small weight
-    tables only).  Returns (score [N], Q [N, R])."""
-    ones = jnp.ones((plan.n_rows,), V.dtype)
+    tables only).  Returns (score [N], Q [N, R]).  Rows masked for SPMD
+    padding (ent_main == B) score zero."""
+    t0 = plan.tables[0]
+    ones = (t0.ent_main < t0.n_cols).astype(V.dtype)
     ent_maps = [t.ent_main for t in plan.tables]
     return _score_parts(plan, w, V, w0, ent_maps, ones)
 
@@ -273,6 +275,11 @@ def _table_pass(
         _, flats = lax.scan(chunk_body, carry0, xs)
         flat = flats.reshape(Kp * S, D, D)
     G = flat[t.final_part]  # [B, D, D]
+    if cfg.axis_name is not None:
+        # SPMD: rows are sharded; per-shard partial Grams sum to the
+        # global per-entity statistics.  Weights/noise are replicated,
+        # so every draw downstream is identical on every device.
+        G = lax.psum(G, cfg.axis_name)
 
     card = G[:, 0, 0]
     E1 = G[:, 0, 1]
@@ -382,7 +389,7 @@ def categorical_sweep(
     instead, once per sweep)."""
     core = state.core
     dtype = core.V.dtype
-    n = plan.n_rows
+    n = plan.n_real
     rank = core.V.shape[1]
     (k_alpha, k_w0, k_lw, k_mw, k_w, k_lv, k_mv, k_v, k_e) = (
         jax.random.split(key, 9)
@@ -459,7 +466,12 @@ def categorical_sweep(
         sum_e, sum_e2 = moments
     else:
         # probit tasks redraw the latent target per row
-        # (FMTrainer.hpp:493-522), which requires the score
+        # (FMTrainer.hpp:493-522), which requires the score; each
+        # shard draws its own rows with a decorrelated key
+        if cfg.axis_name is not None:
+            k_e = jax.random.fold_in(
+                k_e, lax.axis_index(cfg.axis_name)
+            )
         score, _Q = score_and_q(plan, w0, w, V)
         if cfg.task == TASK_CLASSIFICATION:
             t_draw = truncated_std_normal_onesided(k_e, -score, y > 0)
@@ -484,6 +496,9 @@ def categorical_sweep(
             raise NotImplementedError(cfg.task)
         sum_e = jnp.sum(e)
         sum_e2 = jnp.sum(e * e)
+        if cfg.axis_name is not None:
+            sum_e = lax.psum(sum_e, cfg.axis_name)
+            sum_e2 = lax.psum(sum_e2, cfg.axis_name)
 
     new_core = GibbsState(
         w0=w0, w=w, V=V, e=e, alpha=alpha,
@@ -518,9 +533,12 @@ def init_categorical_state(
             # explicit copy: tau lives in the donated state while y is
             # a regular argument — aliasing them trips buffer donation
             tau = jnp.array(y, dtype=score.dtype, copy=True)
-    return CategoricalState(
-        core=core, tau=tau, sum_e=jnp.sum(e), sum_e2=jnp.sum(e * e)
-    )
+    se = jnp.sum(e)
+    se2 = jnp.sum(e * e)
+    if cfg.axis_name is not None:
+        se = lax.psum(se, cfg.axis_name)
+        se2 = lax.psum(se2, cfg.axis_name)
+    return CategoricalState(core=core, tau=tau, sum_e=se, sum_e2=se2)
 
 
 def make_y_tiles(plan: CategoricalPlan, y: jax.Array):

@@ -1,0 +1,307 @@
+"""Multi-chip SPMD execution of the categorical fast path.
+
+Rows partition contiguously across the ('data',) mesh.  Each device
+gets its own sorted-tile layout (compiled per shard with a COMMON
+(T, S) tiling and padded to common tile counts, so the stacked plan has
+one static shape); weights, hyperparameters and PRNG keys are
+replicated.  Per table, each device computes partial per-entity Gram
+matrices over its rows; one ``psum`` per table turns them into the
+global statistics, after which every device performs the identical
+entity-space draws — zero weight traffic, one [B, D, D] all-reduce per
+table per sweep riding ICI.
+
+The sharded chain equals the single-chip chain up to float
+reassociation of the Gram partials (asserted with tight tolerances in
+tests/test_sharded.py on the virtual CPU mesh).  The reference has no
+distributed execution at all (SURVEY §2); its single-process semantics
+is the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import sparse as sps
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.7 style
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from ..design_categorical import (
+    CategoricalPlan,
+    CategoricalTable,
+    choose_tiling,
+    compile_categorical_table,
+    extract_categorical_mappings,
+)
+from ..ops.categorical import (
+    CategoricalState,
+    categorical_sweep,
+    init_categorical_state,
+    make_y_tiles,
+)
+from ..ops.gibbs import GibbsConfig, GibbsState, init_state
+
+
+def compile_sharded_categorical(
+    X,
+    blocks: Sequence,
+    grouping: Optional[np.ndarray],
+    n_devices: int,
+    dtype,
+    rank: int,
+) -> Optional[Tuple[CategoricalPlan, np.ndarray]]:
+    """Per-device fast-path plans stacked on a leading device axis.
+
+    Returns (stacked_plan, y_row_bounds) or None when the design is not
+    categorical.  The stacked plan's array leaves all carry a leading
+    [n_devices] axis (consumed by shard_map); its static meta is shared:
+    per-device row count = ceil(N / n_devices) with the tail masked.
+    """
+    dtype = np.dtype(dtype)
+    extracted = extract_categorical_mappings(X, blocks, grouping, dtype)
+    if extracted is None:
+        return None
+    mappings, n_rows, n_features, grouping = extracted
+
+    if grouping is None:
+        grouping = np.zeros(n_features, dtype=np.int32)
+    n_groups = int(grouping.max()) + 1 if grouping.size else 1
+    group_counts = np.bincount(grouping, minlength=n_groups).astype(dtype)
+
+    n_local = -(-n_rows // n_devices)
+
+    # one (T, S) per table, chosen from global cardinalities
+    tilings = [
+        choose_tiling(
+            np.bincount(ent, minlength=B),
+            1024, 8, rank,
+        )[:2]
+        for ent, B, _ in mappings
+    ]
+
+    # compile per device with masked row padding
+    dev_tables = []  # [n_dev][n_tables]
+    for d in range(n_devices):
+        lo, hi = d * n_local, min((d + 1) * n_local, n_rows)
+        tabs = []
+        for (ent, B, off), (T, S) in zip(mappings, tilings):
+            ent_d = np.full(n_local, B, dtype=np.int64)
+            ent_d[: hi - lo] = ent[lo:hi]
+            tabs.append(
+                compile_categorical_table(
+                    ent_d, B, off, n_local, dtype, rank=rank,
+                    fixed_ts=(T, S),
+                )
+            )
+        dev_tables.append(tabs)
+
+    # pad tile counts to the per-table max across devices
+    for ti in range(len(mappings)):
+        k_max = max(dev_tables[d][ti].n_tiles for d in range(n_devices))
+        for d in range(n_devices):
+            t = dev_tables[d][ti]
+            if t.n_tiles < k_max:
+                (ent, B, off), (T, S) = mappings[ti], tilings[ti]
+                lo, hi = d * n_local, min((d + 1) * n_local, n_rows)
+                ent_d = np.full(n_local, B, dtype=np.int64)
+                ent_d[: hi - lo] = ent[lo:hi]
+                dev_tables[d][ti] = compile_categorical_table(
+                    ent_d, B, off, n_local, dtype, rank=rank,
+                    fixed_ts=(T, S), pad_tiles_to=k_max,
+                )
+
+    # per-device cross maps, then stack everything on a device axis
+    def build_plan(d):
+        tabs = tuple(dev_tables[d])
+        lo, hi = d * n_local, min((d + 1) * n_local, n_rows)
+        cross = []
+        for t in tabs:
+            src = np.asarray(t.src)
+            row = []
+            for t2, (ent2, B2, _o) in zip(tabs, mappings):
+                if t2 is t:
+                    row.append(t.ent_of_tile_row)
+                    continue
+                ent2_d = np.full(n_local + 1, B2, dtype=np.int64)
+                ent2_d[: hi - lo] = ent2[lo:hi]
+                row.append(
+                    jnp.asarray(
+                        ent2_d[np.minimum(src, n_local)].astype(
+                            np.int32
+                        )
+                    )
+                )
+            cross.append(tuple(row))
+        return CategoricalPlan(
+            tables=tabs,
+            cross_ent=tuple(cross),
+            group_index=jnp.asarray(grouping),
+            group_counts=jnp.asarray(group_counts),
+            row_mask=None,
+            n_rows=n_local,
+            n_features=n_features,
+            n_groups=n_groups,
+            n_real=n_rows,
+        )
+
+    plans = [build_plan(d) for d in range(n_devices)]
+    # concatenate every array leaf along axis 0: shard_map with
+    # P('data') splits that axis back into the per-device arrays
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.concatenate(leaves, axis=0), *plans
+    )
+    return stacked, n_local
+
+
+class ShardedCategoricalGibbsTrainer:
+    """Data-parallel fast-path Gibbs over a ('data',) device mesh."""
+
+    def __init__(
+        self,
+        X,
+        X_rel: Sequence,
+        y: np.ndarray,
+        cfg: GibbsConfig,
+        rank: int,
+        init_stdev: float,
+        random_seed: int,
+        mesh: Optional[Mesh] = None,
+        grouping: Optional[np.ndarray] = None,
+        dtype=np.float32,
+    ):
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+        self.mesh = mesh
+        n_devices = mesh.devices.size
+        self.dtype = np.dtype(dtype)
+        self.rank = rank
+        self.init_stdev = init_stdev
+        self.random_seed = random_seed
+
+        compiled = compile_sharded_categorical(
+            X, X_rel, grouping, n_devices, self.dtype, rank
+        )
+        if compiled is None:
+            raise ValueError(
+                "Design is not all-categorical; use ShardedGibbsTrainer."
+            )
+        self.plan, n_local = compiled
+        self.cfg = dataclasses.replace(
+            cfg, axis_name="data", n_devices=n_devices
+        )
+        y_pad = np.zeros(n_local * n_devices, dtype=self.dtype)
+        y_arr = np.asarray(y).astype(self.dtype)
+        y_pad[: y_arr.shape[0]] = y_arr
+        self.y = jnp.asarray(y_pad)
+        if cfg.task == "ordered":
+            yi = np.zeros(n_local * n_devices, dtype=np.int32)
+            yi[: y_arr.shape[0]] = np.asarray(y, dtype=np.int32)
+            self.y_int = jnp.asarray(yi)
+        else:
+            self.y_int = None
+
+        plan_spec = jax.tree_util.tree_map(
+            lambda _: P("data"), self.plan
+        )
+        state_spec = CategoricalState(
+            core=GibbsState(
+                w0=P(), w=P(), V=P(), e=P("data"), alpha=P(),
+                mu_w=P(), lambda_w=P(), mu_V=P(), lambda_V=P(),
+                cutpoints=(
+                    P() if cfg.task == "ordered" else None
+                ),
+                oprobit_alpha=(
+                    P() if cfg.task == "ordered" else None
+                ),
+                n_mh_accept=(
+                    P() if cfg.task == "ordered" else None
+                ),
+            ),
+            tau=(None if cfg.task == "regression" else P("data")),
+            sum_e=P(),
+            sum_e2=P(),
+        )
+        cfg_static = self.cfg
+        interpret = jax.default_backend() != "tpu"
+        self._interpret = interpret
+
+        def sweep(plan, state, y, y_tiles, key):
+            return categorical_sweep(
+                plan, state, y, y_tiles, key, cfg_static, interpret
+            )
+
+        def init(plan, y, key):
+            k_init, k_e = jax.random.split(key)
+            core = init_state(
+                plan, rank, init_stdev, k_init, cfg_static, self.dtype
+            )
+            return init_categorical_state(
+                plan, core, y, k_e, cfg_static
+            )
+
+        y_tiles_spec = tuple(P("data") for _ in self.plan.tables)
+        self._sweep = jax.jit(
+            _shard_map(
+                sweep,
+                mesh=self.mesh,
+                in_specs=(
+                    plan_spec, state_spec, P("data"), y_tiles_spec, P()
+                ),
+                out_specs=state_spec,
+                check_vma=False,
+            ),
+            donate_argnums=(1,),
+        )
+        self._init = jax.jit(
+            _shard_map(
+                init,
+                mesh=self.mesh,
+                in_specs=(plan_spec, P("data"), P()),
+                out_specs=state_spec,
+                check_vma=False,
+            )
+        )
+
+        def tiles(plan, y):
+            return make_y_tiles(plan, y)
+
+        self._y_tiles = jax.jit(
+            _shard_map(
+                tiles,
+                mesh=self.mesh,
+                in_specs=(plan_spec, P("data")),
+                out_specs=y_tiles_spec,
+                check_vma=False,
+            )
+        )(self.plan, self.y)
+
+    def run(self, n_iter: int, n_kept_samples: int):
+        """Run the sharded chain; returns (samples, final state)."""
+        master = jax.random.PRNGKey(self.random_seed)
+        y_arg = self.y_int if self.cfg.task == "ordered" else self.y
+        state = self._init(
+            self.plan, y_arg, jax.random.fold_in(master, 0)
+        )
+        samples = []
+        for it in range(n_iter):
+            key = jax.random.fold_in(master, 1 + it)
+            state = self._sweep(
+                self.plan, state, y_arg, self._y_tiles, key
+            )
+            if it + n_kept_samples >= n_iter:
+                samples.append(
+                    (
+                        float(state.core.w0),
+                        np.asarray(state.core.w),
+                        np.asarray(state.core.V),
+                    )
+                )
+        return samples, state

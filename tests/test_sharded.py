@@ -38,3 +38,48 @@ def test_sharded_equals_single_chip(n_devices):
         np.testing.assert_allclose(w0s, fm_sample.w0, rtol=1e-8)
         np.testing.assert_allclose(ws, fm_sample.w, rtol=1e-6, atol=1e-9)
         np.testing.assert_allclose(vs, fm_sample.V, rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_categorical_equals_single_chip(n_dev):
+    """Fast-path SPMD: per-shard partial Grams psum to the global
+    statistics, so the sharded chain matches single-chip up to float
+    reassociation (f64 here -> ~1e-12)."""
+    import scipy.sparse as sps
+
+    from myfm_tpu import RelationBlock
+    from myfm_tpu.design_categorical import try_compile_categorical
+    from myfm_tpu.ops.gibbs import GibbsConfig
+    from myfm_tpu.parallel.sharding_categorical import (
+        ShardedCategoricalGibbsTrainer,
+    )
+    from myfm_tpu.trainer import CategoricalGibbsTrainer
+
+    rng = np.random.RandomState(3)
+    n, nu, ni = 777, 23, 17  # deliberately not divisible by n_dev
+    u, i = rng.randint(0, nu, n), rng.randint(0, ni, n)
+    y = (
+        rng.normal(size=nu)[u] + rng.normal(size=ni)[i]
+        + 0.3 * rng.normal(size=n)
+    )
+    blocks = [
+        RelationBlock(u, sps.identity(nu, format="csr")),
+        RelationBlock(i, sps.identity(ni, format="csr")),
+    ]
+    cfg = GibbsConfig(task="regression")
+
+    plan1 = try_compile_categorical(
+        None, blocks, None, None, np.float64, rank=2
+    )
+    tr1 = CategoricalGibbsTrainer(plan1, y, cfg, 2, 0.1, 7, np.float64)
+    p1, _ = tr1.run(8, 8)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    tr_n = ShardedCategoricalGibbsTrainer(
+        None, blocks, y, cfg, 2, 0.1, 7, mesh=mesh, dtype=np.float64
+    )
+    s_n, _ = tr_n.run(8, 8)
+    for a, b in zip(p1.samples, s_n):
+        np.testing.assert_allclose(a.w0, b[0], rtol=1e-9)
+        np.testing.assert_allclose(a.w, b[1], rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(a.V, b[2], rtol=1e-8, atol=1e-10)
