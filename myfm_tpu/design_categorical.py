@@ -46,9 +46,10 @@ DEFAULT_TILE_ROWS = 1024  # T (measured sweet spot on v5e at D=34)
 DEFAULT_TILE_ENTITIES = 8  # S
 
 
-# VMEM budget for the Gram kernel's A-matrix scratch (T x S*D f32);
-# the whole kernel footprint is ~2-3x this.
-_A_SCRATCH_BYTES = 5 << 20
+# VMEM budget for the Gram kernel's A-matrix scratch (T x S*Dp f32);
+# the A-build holds ~4 temporaries of this size, so keep it well under
+# a quarter of the 16 MB scoped-VMEM limit.
+_A_SCRATCH_BYTES = 3 << 20
 
 
 def _packed_rows(counts: np.ndarray, T: int, S: int) -> int:
@@ -82,14 +83,18 @@ def choose_tiling(counts: np.ndarray, T: int, S: int, rank: int = 32):
     """Pick (T, S) minimizing pad inflation under the kernel's VMEM
     budget; returns (T, S, inflation)."""
     n = max(int(counts.sum()), 1)
-    D = rank + 2
+    Dp = -(-(rank + 2) // 8) * 8  # the kernel's 8-aligned slot stride
+    # wide-D kernels also carry [T, R]-sized operands through double
+    # buffering, so leave them more headroom
+    budget = _A_SCRATCH_BYTES if Dp <= 72 else _A_SCRATCH_BYTES // 2
     cands = [
         (2 * T, S), (2 * T, 2 * S), (T, S), (T, 2 * S), (T, 4 * S),
-        (T // 2, 4 * S), (T // 4, 4 * S), (T // 4, 8 * S),
+        (T // 2, S), (T // 2, 2 * S), (T // 2, 4 * S),
+        (T // 4, 4 * S), (T // 4, 8 * S),
     ]
     best = None
     for Tc, Sc in cands:
-        if Tc * Sc * D * 4 > _A_SCRATCH_BYTES:
+        if Tc * Sc * Dp * 4 > budget:
             continue
         infl = _packed_rows(counts, Tc, Sc) / n
         if best is None or infl < best[2] - 1e-9:
@@ -144,6 +149,15 @@ class CategoricalTable:
     ent_slots: jax.Array  # [K, S] int32 — entity id per slot (pad=B)
     final_part: jax.Array  # [B] int32 — flat (tile*S+slot) of the slot
     #     holding each entity's complete Gram (K*S = OOB for empty)
+    # per-chunk Gram consumption (the sweep scans tile chunks of
+    # ``chunk_tiles``; each chunk finalizes a contiguous entity-id
+    # window, written into G via masked dynamic-update-slice so the
+    # full [K*S, D, D] partial array never exists):
+    fin_win: jax.Array  # [n_chunks] int32 — window start entity id
+    fin_idx: jax.Array  # [n_chunks, max_fin] int32 — chunk-local flat
+    #     slot (tile_in_chunk*S + slot) per window row (garbage if
+    #     masked)
+    fin_mask: jax.Array  # [n_chunks, max_fin] int32 — 1 = write row
     cardinality: jax.Array  # [B] float — rows per entity
     ent_main: jax.Array  # [N] int32 — entity id per main-order row
     noise_feat: jax.Array  # [B] int32 — global feature ids of entities
@@ -152,19 +166,77 @@ class CategoricalTable:
     n_tiles: int = dataclasses.field(metadata=dict(static=True))
     tile_rows: int = dataclasses.field(metadata=dict(static=True))  # T
     tile_entities: int = dataclasses.field(metadata=dict(static=True))  # S
+    chunk_tiles: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
+    max_fin: int = dataclasses.field(
+        default=0, metadata=dict(static=True)
+    )
 
 
 jax.tree_util.register_dataclass(
     CategoricalTable,
     data_fields=[
         "src", "slot", "ent_of_tile_row", "cont_in", "cont_out",
-        "last_slot", "ent_slots", "final_part", "cardinality",
-        "ent_main", "noise_feat",
+        "last_slot", "ent_slots", "final_part", "fin_win", "fin_idx",
+        "fin_mask", "cardinality", "ent_main", "noise_feat",
     ],
     meta_fields=[
         "col_offset", "n_cols", "n_tiles", "tile_rows", "tile_entities",
+        "chunk_tiles", "max_fin",
     ],
 )
+
+
+# rows per Gram chunk in the sweep's lax.scan — bounds both the
+# [chunk, R]-sized temporaries and (via per-chunk Gram consumption)
+# removes any K*S*D*D-sized array
+CHUNK_ROWS = 1 << 20
+# bytes allowed for one chunk's partial-Gram output [Kc*S, D, D]
+CHUNK_FLAT_BYTES = 1 << 30
+
+
+def _finalize_windows(final_part: np.ndarray, counts: np.ndarray,
+                      K: int, S: int, chunk_tiles: int,
+                      forced_max_fin: Optional[int] = None):
+    """Per-chunk contiguous entity windows for Gram consumption.
+
+    Entity u's complete Gram lands at flat slot final_part[u]; the
+    chunk that produces it is final_part[u] // (chunk_tiles * S).
+    Entities are packed in ascending id order, so each chunk finalizes
+    a contiguous id range (interleaved empty entities are masked out —
+    their G rows stay zero, which is their correct Gram).
+    """
+    B = final_part.shape[0]
+    n_chunks = -(-K // chunk_tiles)
+    per_chunk = chunk_tiles * S
+    has_rows = counts > 0
+    chunk_of = final_part // per_chunk
+    wins = np.zeros(n_chunks, dtype=np.int64)
+    spans = []
+    for c in range(n_chunks):
+        ids = np.nonzero(has_rows & (chunk_of == c))[0]
+        if ids.size:
+            lo, hi = int(ids[0]), int(ids[-1]) + 1
+        else:
+            lo, hi = 0, 0
+        wins[c] = lo
+        spans.append(hi - lo)
+    max_fin = min(max(max(spans), 1), B)
+    if forced_max_fin is not None:
+        max_fin = min(max(max_fin, forced_max_fin), B)
+    # clamp windows into [0, B - max_fin]
+    wins = np.clip(wins, 0, B - max_fin)
+    fin_idx = np.zeros((n_chunks, max_fin), dtype=np.int32)
+    fin_mask = np.zeros((n_chunks, max_fin), dtype=np.int32)
+    for c in range(n_chunks):
+        ids = np.nonzero(has_rows & (chunk_of == c))[0]
+        loc = ids - wins[c]
+        fin_idx[c, loc] = (final_part[ids] - c * per_chunk).astype(
+            np.int32
+        )
+        fin_mask[c, loc] = 1
+    return wins.astype(np.int32), fin_idx, fin_mask, max_fin
 
 
 @dataclasses.dataclass(frozen=True)
@@ -341,10 +413,12 @@ def compile_categorical_table(
     max_inflation: Optional[float] = None,
     fixed_ts: Optional[Tuple[int, int]] = None,
     pad_tiles_to: Optional[int] = None,
+    max_fin_pad: Optional[int] = None,
 ) -> Optional[CategoricalTable]:
     """``fixed_ts`` pins (T, S) (SPMD shards must agree on tiling);
-    ``pad_tiles_to`` appends extra all-pad tiles so every shard's
-    arrays share a static shape."""
+    ``pad_tiles_to`` appends extra all-pad tiles and ``max_fin_pad``
+    widens the finalize windows so every shard's arrays share a static
+    shape."""
     ent = np.asarray(ent, dtype=np.int64)
     # rows with ent == n_entities are masked (SPMD row padding): they
     # never enter any tile; their ent_main stays the pad id so every
@@ -390,6 +464,22 @@ def compile_categorical_table(
         )
         nt = src.shape[0]
     card = counts.astype(dtype)
+
+    K = nt // T
+    D = rank + 2
+    chunk_tiles = max(
+        1,
+        min(
+            K,
+            CHUNK_ROWS // T,
+            CHUNK_FLAT_BYTES // max(S * D * D * 4, 1),
+        ),
+    )
+    fin_win, fin_idx, fin_mask, max_fin = _finalize_windows(
+        np.asarray(final_part, dtype=np.int64), counts, K, S,
+        chunk_tiles, forced_max_fin=max_fin_pad,
+    )
+
     return CategoricalTable(
         src=jnp.asarray(src),
         slot=jnp.asarray(slot),
@@ -399,6 +489,9 @@ def compile_categorical_table(
         last_slot=jnp.asarray(last_slot),
         ent_slots=jnp.asarray(ent_slots),
         final_part=jnp.asarray(final_part),
+        fin_win=jnp.asarray(fin_win),
+        fin_idx=jnp.asarray(fin_idx),
+        fin_mask=jnp.asarray(fin_mask),
         cardinality=jnp.asarray(card),
         ent_main=jnp.asarray(ent.astype(np.int32)),
         noise_feat=jnp.asarray(
@@ -409,6 +502,8 @@ def compile_categorical_table(
         n_tiles=nt // T,
         tile_rows=T,
         tile_entities=S,
+        chunk_tiles=chunk_tiles,
+        max_fin=max_fin,
     )
 
 

@@ -76,10 +76,6 @@ from .gibbs import (
 from .pallas_gram import fused_tile_gram
 from .special import truncated_std_normal_onesided
 
-# rows processed per Gram chunk: bounds the [chunk, R]-sized
-# temporaries (phi, z, Q) so HBM peak stays flat in N
-_CHUNK_ROWS = 1 << 20
-
 
 @dataclasses.dataclass
 class CategoricalState:
@@ -148,10 +144,41 @@ def _score_parts(plan: CategoricalPlan, w, V, w0, ent_maps, ones):
     return score, Q
 
 
+def score_rows(plan: CategoricalPlan, w0, w, V,
+               row_chunk: int = 1 << 20):
+    """Forward pass in main row order, chunked over rows so peak memory
+    stays O(row_chunk * R) (eager init at 1e7 rows x rank 128 would
+    otherwise materialize ~15 GB).  Rows masked for SPMD padding
+    (ent_main == B) score zero."""
+    N = plan.n_rows
+    nb = -(-N // row_chunk)
+    Np = nb * row_chunk
+    t0 = plan.tables[0]
+
+    def pad_map(m, fill):
+        if Np != N:
+            m = jnp.concatenate(
+                [m, jnp.full((Np - N,), fill, m.dtype)]
+            )
+        return m.reshape(nb, row_chunk)
+
+    maps = [pad_map(t.ent_main, t.n_cols) for t in plan.tables]
+
+    def block(ms):
+        ones = (ms[0] < t0.n_cols).astype(V.dtype)
+        s, _ = _score_parts(plan, w, V, w0, list(ms), ones)
+        return s
+
+    if nb == 1:
+        score = block(tuple(m[0] for m in maps))
+    else:
+        score = lax.map(block, tuple(maps)).reshape(Np)
+    return score[:N]
+
+
 def score_and_q(plan: CategoricalPlan, w0, w, V):
-    """Forward pass in main row order (gathers from the small weight
-    tables only).  Returns (score [N], Q [N, R]).  Rows masked for SPMD
-    padding (ent_main == B) score zero."""
+    """(score [N], Q [N, R]) in main row order (unchunked; prefer
+    score_rows when Q is not needed)."""
     t0 = plan.tables[0]
     ones = (t0.ent_main < t0.n_cols).astype(V.dtype)
     ent_maps = [t.ent_main for t in plan.tables]
@@ -202,9 +229,11 @@ def _table_pass(
     # [NT, R]-sized temporaries (phi, z, Q) would otherwise hold ~4 GB
     # live per table and blow out HBM.
     S = t.tile_entities
-    Kc = max(1, min(K, _CHUNK_ROWS // T))
+    Kc = t.chunk_tiles
     n_chunks = -(-K // Kc)
     Kp = n_chunks * Kc
+    max_fin = t.max_fin
+    B = t.n_cols
 
     # own-table weight rows per (tile, slot): tiny ([K, S, 1+R]); the
     # kernel reconstructs the own contribution from these with a
@@ -236,10 +265,14 @@ def _table_pass(
             if t2i != ti
         ],
         tau=pad_k(tau_tile, 0.0, (T,)),
+        fin_win=t.fin_win,
+        fin_idx=t.fin_idx,
+        fin_mask=t.fin_mask,
     )
     others = [t2 for t2i, t2 in enumerate(plan.tables) if t2i != ti]
 
     def chunk_body(carry, xc):
+        gram_carry, G = carry
         src_c = xc["src"].reshape(Kc * T)
         ones_c = (src_c < plan.n_rows).astype(dtype)
         # contributions of the OTHER tables only (for one-hot tables
@@ -260,21 +293,37 @@ def _table_pass(
         meta = jnp.stack([ones_c, lin_tau, qs_o], axis=1).reshape(
             Kc, T, 3
         )
-        flat_c, carry = fused_tile_gram(
+        flat_c, gram_carry = fused_tile_gram(
             meta, Q_o.reshape(Kc, T, rank), xc["slot"], xc["wvsl"],
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
-            carry_in=carry, interpret=interpret,
+            carry_in=gram_carry, interpret=interpret,
         )
-        return carry, flat_c
+        # consume this chunk's finalized entities into G: a masked
+        # dynamic-update-slice over a contiguous entity window — the
+        # full [K*S, D, D] partial array never exists (it would be
+        # ~84 GB at rank 128 / 1e7 rows)
+        # flat_c rows are Dp-strided (Dp = D rounded to 8); keep D
+        vals = flat_c[xc["fin_idx"]][:, :D, :]  # [max_fin, D, D]
+        win = xc["fin_win"]
+        zero = jnp.zeros((), win.dtype)
+        old = lax.dynamic_slice(
+            G, (win, zero, zero), (max_fin, D, D)
+        )
+        msk = (xc["fin_mask"] > 0)[:, None, None]
+        G = lax.dynamic_update_slice(
+            G, jnp.where(msk, vals, old), (win, zero, zero)
+        )
+        return (gram_carry, G), None
 
-    carry0 = jnp.zeros((D, D), dtype)
+    carry0 = (
+        jnp.zeros((D, D), dtype),
+        jnp.zeros((B, D, D), dtype),
+    )
     if n_chunks == 1:
         xc = jax.tree_util.tree_map(lambda a: a[0], xs)
-        _, flat = chunk_body(carry0, xc)
+        (_, G), _ = chunk_body(carry0, xc)
     else:
-        _, flats = lax.scan(chunk_body, carry0, xs)
-        flat = flats.reshape(Kp * S, D, D)
-    G = flat[t.final_part]  # [B, D, D]
+        (_, G), _ = lax.scan(chunk_body, carry0, xs)
     if cfg.axis_name is not None:
         # SPMD: rows are sharded; per-shard partial Grams sum to the
         # global per-entity statistics.  Weights/noise are replicated,
@@ -472,7 +521,7 @@ def categorical_sweep(
             k_e = jax.random.fold_in(
                 k_e, lax.axis_index(cfg.axis_name)
             )
-        score, _Q = score_and_q(plan, w0, w, V)
+        score = score_rows(plan, w0, w, V)
         if cfg.task == TASK_CLASSIFICATION:
             t_draw = truncated_std_normal_onesided(k_e, -score, y > 0)
             tau = score + t_draw  # latent z
@@ -517,7 +566,7 @@ def init_categorical_state(
     """Initialize e (and the latent tau) from freshly initialized
     weights, matching the reference's initialize_e
     (FMTrainer.hpp:99-119)."""
-    score, _Q = score_and_q(plan, core.w0, core.w, core.V)
+    score = score_rows(plan, core.w0, core.w, core.V)
     tau = None
     if cfg.task == TASK_ORDERED:
         from .oprobit import initialize_oprobit_core

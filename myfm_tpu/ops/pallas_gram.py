@@ -8,18 +8,21 @@ for all B entities at once.  Rows are pre-sorted by entity and packed
 into tiles of T rows spanning at most S entities each
 (design_categorical._pack_tiles).  Per grid step (one tile) the kernel
 
-1. materialises A[t, s*D + d] = M[t, s] * z[t, d] in VMEM via S static
-   slice writes (M is the tile's slot one-hot, built by iota-compare —
-   nothing N x D^2 ever touches HBM);
-2. computes all S partial Grams with ONE MXU matmul
+1. reconstructs the own-table contribution (own = M @ [w|V] slot
+   slice) and z = [1 | e | phi] entirely in VMEM — the fused kernel's
+   inputs are just the OTHER tables' gathered sums;
+2. materialises A[t, s*D + d] = M[t, s] * z[t, d] with two whole-array
+   vector ops (block-tiled z via pltpu.repeat x an iota//D slot
+   compare) and computes all S partial Grams with ONE MXU matmul
    A^T @ z -> [S*D, D] at HIGHEST precision (the default TPU matmul
    runs bf16 passes, ~1e-3 relative error — enough to bias the Gibbs
-   sufficient statistics);
+   sufficient statistics; Mosaic does not support HIGH);
 3. carries the running Gram of an entity that spans a tile boundary
    into the next tile through a VMEM scratch accumulator (the TPU grid
-   is sequential), so every entity's complete Gram ends up in exactly
-   one known (tile, slot) — the caller reads it back with a single
-   wide row-gather (design_categorical precomputes `final_part`).
+   is sequential) and across chunked invocations via carry_in/out, so
+   every entity's complete Gram lands in one known (tile, slot) —
+   consumed per chunk by the caller (design_categorical precomputes
+   `final_part` / the `fin_*` windows).
 
 This replaces the reference's per-coordinate residual-cache updates
 (include/myfm/FMTrainer.hpp:316-486) as the sweep's dominant compute.
@@ -161,11 +164,11 @@ def _fused_gram_kernel(
     wvsl_ref,  # [1, S, 1+R] f32: own [w | V] rows per slot
     carry_in_ref,  # [D, D]
     # outputs
-    out_ref,  # [1, S*D, D]
+    out_ref,  # [1, S*Dp, D]  (Dp = D rounded up to 8: slot stride)
     carry_out_ref,  # [D, D]
     # scratch
-    a_ref,  # [T, S*D]
-    z_ref,  # [T, D]
+    a_ref,  # [T, S*Dp]
+    z_ref,  # [T, Dp]  (columns >= D stay zero)
     carry_ref,  # [D, D]
     *,
     interpret_build: bool = False,
@@ -177,9 +180,10 @@ def _fused_gram_kernel(
     OTHER tables' factor sum, so the caller never gathers own rows at
     [N] scale, and no [N, D] z array ever exists in HBM."""
     _, T, _ = meta_ref.shape
-    SD = a_ref.shape[1]
-    D = z_ref.shape[1]
-    S = SD // D
+    SDp = a_ref.shape[1]
+    Dp = z_ref.shape[1]
+    D = out_ref.shape[2]
+    S = SDp // Dp
     R = D - 2
     g = pl.program_id(0)
 
@@ -212,29 +216,34 @@ def _fused_gram_kernel(
         )
     )
     e = score * ones
+    if Dp > D:
+        z_ref[...] = jnp.zeros((T, Dp), meta.dtype)
     z_ref[:, 0] = ones
     z_ref[:, 1] = e
-    z_ref[:, 2:] = phi
-    # A[t, s*D + d] = z[t, d] * m[t, s], built with two whole-array
+    z_ref[:, 2:D] = phi
+    # A[t, s*Dp + d] = z[t, d] * m[t, s], built with two whole-array
     # vector ops instead of S strided slice writes (which dominated
-    # kernel time at S = 16)
+    # kernel time at S = 16).  The slot stride Dp is 8-aligned so the
+    # dynamic carry slice below is provably sublane-aligned.
     z = z_ref[...]
     if interpret_build:
-        a_ref[...] = (m[:, :, None] * z[:, None, :]).reshape(T, S * D)
+        a_ref[...] = (m[:, :, None] * z[:, None, :]).reshape(
+            T, S * Dp
+        )
     else:
         # pltpu.repeat is a block-tile repeat ([z|z|..|z]) — exactly
-        # the z layout needed; the slot mask comes from an iota//D
+        # the z layout needed; the slot mask comes from an iota//Dp
         # compare (pad rows have all-zero z, so no extra masking)
-        z_til = pltpu.repeat(z, S, axis=1)  # [T, S*D]
+        z_til = pltpu.repeat(z, S, axis=1)  # [T, S*Dp]
         s_of_col = (
-            jax.lax.broadcasted_iota(jnp.int32, (T, S * D), 1) // D
+            jax.lax.broadcasted_iota(jnp.int32, (T, S * Dp), 1) // Dp
         )
         a_ref[...] = z_til * (slot[:, None] == s_of_col).astype(
             z.dtype
         )
     out_ref[0] = jax.lax.dot_general(
         a_ref[...],
-        z_ref[...],
+        z_ref[:, :D],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=meta.dtype,
         precision=jax.lax.Precision.HIGHEST,  # Mosaic supports only
@@ -247,7 +256,7 @@ def _fused_gram_kernel(
 
     @pl.when(cont_out_ref[g] > 0)
     def _():
-        off = last_slot_ref[g] * D
+        off = pl.multiple_of(last_slot_ref[g] * Dp, 8)
         carry_ref[...] = out_ref[0, pl.ds(off, D), :]
 
     @pl.when(g == pl.num_programs(0) - 1)
@@ -268,9 +277,11 @@ def fused_tile_gram(
     carry_in: Optional[jax.Array] = None,
     interpret: bool = False,
 ):
-    """Returns (flat partial Grams [K*S, D, D], carry_out [D, D])."""
+    """Returns (flat partial Grams [K*S, Dp, D], carry_out [D, D]);
+    Dp = D rounded up to a multiple of 8 (rows D..Dp-1 are zero)."""
     K, T, R = q_other.shape
     D = R + 2
+    Dp = -(-D // 8) * 8
     if carry_in is None:
         carry_in = jnp.zeros((D, D), q_other.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -289,14 +300,14 @@ def fused_tile_gram(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, S * D, D), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((1, S * Dp, D), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, D), lambda k, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((T, S * D), q_other.dtype),
-            pltpu.VMEM((T, D), q_other.dtype),
+            pltpu.VMEM((T, S * Dp), q_other.dtype),
+            pltpu.VMEM((T, Dp), q_other.dtype),
             pltpu.VMEM((D, D), q_other.dtype),
         ],
     )
@@ -304,13 +315,13 @@ def fused_tile_gram(
         functools.partial(_fused_gram_kernel, interpret_build=interpret),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((K, S * D, D), q_other.dtype),
+            jax.ShapeDtypeStruct((K, S * Dp, D), q_other.dtype),
             jax.ShapeDtypeStruct((D, D), q_other.dtype),
         ),
         interpret=interpret,
     )(cont_in, cont_out, last_slot, slot.reshape(K, T, 1), meta,
       q_other, wvsl, carry_in)
-    return out.reshape(K * S, D, D), carry_out
+    return out.reshape(K * S, Dp, D), carry_out
 
 
 def fused_tile_gram_reference(

@@ -103,12 +103,14 @@ def compile_sharded_categorical(
             )
         dev_tables.append(tabs)
 
-    # pad tile counts to the per-table max across devices
+    # reconcile static shapes across devices: tile counts and
+    # finalize-window widths must match for shard_map
     for ti in range(len(mappings)):
         k_max = max(dev_tables[d][ti].n_tiles for d in range(n_devices))
+        f_max = max(dev_tables[d][ti].max_fin for d in range(n_devices))
         for d in range(n_devices):
             t = dev_tables[d][ti]
-            if t.n_tiles < k_max:
+            if t.n_tiles < k_max or t.max_fin < f_max:
                 (ent, B, off), (T, S) = mappings[ti], tilings[ti]
                 lo, hi = d * n_local, min((d + 1) * n_local, n_rows)
                 ent_d = np.full(n_local, B, dtype=np.int64)
@@ -116,6 +118,7 @@ def compile_sharded_categorical(
                 dev_tables[d][ti] = compile_categorical_table(
                     ent_d, B, off, n_local, dtype, rank=rank,
                     fixed_ts=(T, S), pad_tiles_to=k_max,
+                    max_fin_pad=f_max,
                 )
 
     # per-device cross maps, then stack everything on a device axis
