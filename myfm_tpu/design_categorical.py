@@ -556,12 +556,36 @@ def extract_categorical_mappings(
             return None
     offset = X.shape[1]
     for b in blocks:
-        ent = categorical_mapping(
-            sps.csr_matrix(b.data), np.asarray(b.original_to_block)
-        )
-        if ent is None:
+        bx = sps.csr_matrix(b.data)
+        mapper = np.asarray(b.original_to_block)
+        ent = categorical_mapping(bx, mapper)
+        if ent is not None:
+            mappings.append((ent, b.feature_size, offset))
+        elif grouping is not None:
+            # a block whose column groups are EACH one-hot per block
+            # row (e.g. [user-id | age-bucket | gender | occupation])
+            # splits into one categorical table per group, with entity
+            # maps composed through the block mapper: every attribute
+            # is a categorical feature of the same rows
+            g_blk = grouping[offset : offset + b.feature_size]
+            if g_blk.size and (np.diff(g_blk) >= 0).all():
+                bounds = np.searchsorted(
+                    g_blk - g_blk[0], np.arange(g_blk[-1] - g_blk[0] + 2)
+                )
+                bc = bx.tocsc()
+                for gi in range(g_blk[-1] - g_blk[0] + 1):
+                    lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+                    if hi <= lo:
+                        continue
+                    sub = bc[:, lo:hi].tocsr()
+                    ent = categorical_mapping(sub, mapper)
+                    if ent is None:
+                        return None
+                    mappings.append((ent, hi - lo, offset + lo))
+            else:
+                return None
+        else:
             return None
-        mappings.append((ent, b.feature_size, offset))
         offset += b.feature_size
     if not mappings:
         return None

@@ -292,3 +292,47 @@ def test_non_categorical_falls_back():
         MyFMGibbsRegressor(
             rank=1, sweep_strategy="categorical"
         ).fit(X, y, n_iter=2)
+
+
+def test_block_with_categorical_side_attributes_fast_path():
+    """Blocks shaped [id | one-hot attributes] split into categorical
+    tables via composed entity maps (the ml-100k side-info layout)."""
+    rng = np.random.RandomState(0)
+    n, nu, ni = 900, 37, 23
+
+    def onehot(vals, k):
+        return sps.csr_matrix(
+            (np.ones(len(vals)), (np.arange(len(vals)), vals)),
+            shape=(len(vals), k),
+        )
+
+    u, i = rng.randint(0, nu, n), rng.randint(0, ni, n)
+    age = rng.randint(0, 5, nu)
+    ub = sps.hstack(
+        [sps.identity(nu, format="csr"), onehot(age, 5)]
+    ).tocsr()
+    ib = sps.identity(ni, format="csr")
+    blocks = [RelationBlock(u, ub), RelationBlock(i, ib)]
+    grouping = np.asarray(
+        [0] * nu + [1] * 5 + [2] * ni, np.int32
+    )
+    plan = try_compile_categorical(
+        None, blocks, grouping, None, np.float64, rank=2
+    )
+    assert plan is not None and len(plan.tables) == 3
+    # the attribute table's entity map composes through the mapper
+    np.testing.assert_array_equal(
+        np.asarray(plan.tables[1].ent_main), age[u]
+    )
+
+    true_age = rng.normal(size=5)
+    y = (
+        rng.normal(size=nu)[u] + true_age[age[u]]
+        + rng.normal(size=ni)[i] + 0.3 * rng.normal(size=n)
+    )
+    fm = MyFMGibbsRegressor(rank=2, random_seed=1).fit(
+        None, y, X_rel=blocks, n_iter=50, n_kept_samples=30,
+        grouping=list(grouping),
+    )
+    pred = fm.predict(None, blocks)
+    assert float(np.sqrt(np.mean((pred - y) ** 2))) < 0.5
