@@ -13,10 +13,9 @@ have produced (same keys, same state), which the test suite asserts.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import tempfile
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

@@ -5,7 +5,7 @@ API parity with /root/reference/src/myfm/gibbs.py:32-543.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Tuple, Union
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd

@@ -68,10 +68,8 @@ from .gibbs import (
     TASK_ORDERED,
     TASK_REGRESSION,
     _draw_normal,
-    draw_alpha,
     draw_lambda,
     draw_mu,
-    draw_w0,
 )
 from .pallas_gram import fused_tile_gram
 from .special import truncated_std_normal_onesided

@@ -29,13 +29,13 @@ The update order matches BaseFMTrainer::update_all
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..design import BlockPlan, ColorPlan, DesignPlan, TablePlan
+from ..design import BlockPlan, ColorPlan, DesignPlan
 from .forward import factor_q_single, predict_score
 from .special import truncated_std_normal_onesided
 

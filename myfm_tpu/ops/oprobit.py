@@ -24,7 +24,6 @@ vectorized truncated-normal draw (OProbitSampler.hpp:238-272).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax

@@ -22,7 +22,6 @@ Update order matches BaseFMTrainer::update_all:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
