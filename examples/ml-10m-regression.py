@@ -47,11 +47,15 @@ def main():
     )
     if args.algorithm == "oprobit":
         # rating r in {0.5,...,5.0} (or {1..5}) -> ordinal class ids
+        classes = np.unique(
+            np.concatenate(
+                [df_train.rating.values, df_test.rating.values]
+            )
+        )
+        lookup = {v: k for k, v in enumerate(classes)}
         for df_ in (df_train, df_test):
-            classes = np.unique(df_train.rating.values)
-            lookup = {v: k for k, v in enumerate(classes)}
             df_["rating"] = df_.rating.map(lookup).astype(np.int32)
-        n_class = int(df_train.rating.max()) + 1
+        n_class = len(classes)
 
     (X_date_train, X_date_test, train_blocks, test_blocks,
      grouping) = build_feature_blocks(

@@ -62,6 +62,59 @@ class LibFMLikeCallbackBase(ABC):
             )
         return False, description
 
+    # -- device-backed test scoring ------------------------------------
+    # The trainers hand callbacks a lazy view whose weights still live
+    # on the accelerator (trainer.LazyFMView exposes them as `_state`);
+    # scoring the test set there is ~100x faster than the numpy forward
+    # on this class of host, and is exactly what makes the reference's
+    # "n_kept_samples=1 + callback" protocol cheap per sweep.
+    _device_plan = None
+
+    def _score_on_device(self, fm) -> Optional[np.ndarray]:
+        state = getattr(fm, "_state", None)
+        if state is None:
+            return None
+        try:
+            import jax
+
+            from ...design import compile_design
+            from ...ops.forward import predict_score
+        except Exception:  # pragma: no cover
+            return None
+        if self._device_plan is None:
+            self._device_plan = compile_design(
+                self.X_test,
+                self.X_rel_test,
+                dtype=np.dtype(state.w.dtype),
+                for_training=False,
+            )
+            self._device_score_fn = jax.jit(predict_score)
+        return np.asarray(
+            self._device_score_fn(
+                self._device_plan, state.w0, state.w, state.V
+            ),
+            dtype=np.float64,
+        )
+
+    def _test_score(self, fm) -> np.ndarray:
+        score = self._score_on_device(fm)
+        if score is None:
+            score = fm.predict_score(self.X_test, self.X_rel_test)
+        return score
+
+    def __getstate__(self):
+        # the device plan / jitted scorer are caches, not state (and a
+        # jitted function is unpicklable); the reference pickles fitted
+        # callbacks in its benchmark scripts
+        state = dict(self.__dict__)
+        state.pop("_device_plan", None)
+        state.pop("_device_score_fn", None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._device_plan = None
+
 
 class RegressionCallback(LibFMLikeCallbackBase):
     def __init__(
@@ -92,7 +145,7 @@ class RegressionCallback(LibFMLikeCallbackBase):
         return float(((self.y_test - pred) ** 2).mean() ** 0.5)
 
     def _measure_score(self, i, fm, hyper):
-        score = fm.predict_score(self.X_test, self.X_rel_test)
+        score = self._test_score(fm)
         self.predictions += score
         self.n_samples += 1
         mean = self.predictions / self.n_samples
@@ -150,7 +203,7 @@ class ClassificationCallback(LibFMLikeCallbackBase):
         return float((self.y_test == (arr >= 0.5)).mean())
 
     def _measure_score(self, i, fm, hyper):
-        prob_this = ndtr(fm.predict_score(self.X_test, self.X_rel_test))
+        prob_this = ndtr(self._test_score(fm))
         self.predictions += prob_this
         self.n_samples += 1
         mean = self.predictions / self.n_samples
@@ -220,7 +273,20 @@ class OrderedProbitCallback(LibFMLikeCallbackBase):
         return float(((self.y_test - expected) ** 2).mean()) ** 0.5
 
     def _measure_score(self, i, fm, hyper):
-        prob_this = fm.oprobit_predict_proba(self.X_test, self.X_rel_test, 0)
+        score = self._score_on_device(fm)
+        if score is None:
+            prob_this = fm.oprobit_predict_proba(
+                self.X_test, self.X_rel_test, 0
+            )
+        else:
+            gamma = np.asarray(fm.cutpoints[0], dtype=np.float64)
+            cdf = ndtr(gamma[None, :] - score[:, None])
+            prob_this = np.empty(
+                (score.shape[0], gamma.shape[0] + 1)
+            )
+            prob_this[:, 0] = cdf[:, 0]
+            prob_this[:, 1:-1] = np.diff(cdf, axis=1)
+            prob_this[:, -1] = 1.0 - cdf[:, -1]
         self.predictions += prob_this
         self.n_samples += 1
         mean = self.predictions / self.n_samples
