@@ -325,6 +325,138 @@ def _scan_colors(stack, carry, step):
     return carry
 
 
+def _w_block_stack(b: BlockPlan, stack, e, w, alpha, lam_col, mu_col,
+                   noise, group_index, axis=None):
+    """Fold ``_w_color_block`` over a ColorStack in O(block_size)/color.
+
+    The per-color conditional consumes the residual only through its
+    per-block-row segment sum ``e1``; recomputing that inside the scan
+    is O(n_rows) per color (the dominant cost at ML-scale, and large
+    enough to hit backend dispatch limits).  Under the color's update
+    ``e += dxb[mapper]`` the aggregate evolves exactly as
+    ``e1 += cardinality * dxb``, so ``e1`` is carried through the scan
+    and the [n_rows] residual is touched once at the end with the
+    accumulated per-block-row delta.  Bitwise this reorders float
+    additions relative to the recomputing form; the math is identical.
+    """
+    B = b.block_size
+    card = b.cardinality
+    e1 = _psum(
+        jax.ops.segment_sum(e, b.mapper, num_segments=B), axis
+    )
+    zeros_b = jnp.zeros((B,), e.dtype)
+
+    def body(carry, xs):
+        e1_, acc, w_ = carry
+        c = ColorPlan(
+            rows=xs.rows, vals=xs.vals, seg=xs.seg, feat=xs.feat,
+            sx2=xs.sx2,
+        )
+        n_seg = c.feat.shape[0]
+        lam, mu = _per_feature_prior(c, group_index, lam_col, mu_col)
+        w_old = w_[c.feat]
+        xe = jax.ops.segment_sum(
+            c.vals * e1_[c.rows], c.seg, num_segments=n_seg,
+            indices_are_sorted=True,
+        )
+        quad = alpha * c.sx2 + lam
+        lin = alpha * (c.sx2 * w_old - xe) + lam * mu
+        w_new = _draw_normal(quad, lin, noise[c.feat])
+        delta = w_new - w_old
+        dxb = zeros_b.at[c.rows].add(
+            delta[c.seg] * c.vals, unique_indices=True
+        )
+        w_ = w_.at[c.feat].set(w_new, mode="drop", unique_indices=True)
+        return (e1_ + card * dxb, acc + dxb, w_), None
+
+    (_, acc, w), _ = lax.scan(body, (e1, zeros_b, w), stack)
+    e = e + acc[b.mapper]
+    return e, w
+
+
+def _V_block_stack(b: BlockPlan, stack, e, q, v, alpha, lam_col, mu_col,
+                   noise, group_index, axis=None):
+    """Fold ``_V_color_block`` over a ColorStack in O(block_size)/color.
+
+    The conditional consumes (e, q) only through the four per-block-row
+    aggregates E1 = Σe, Q1 = Σq, Q2 = Σq², EQ = Σeq.  Each color's
+    update is ``e += a[mapper]·q − b2[mapper]; q += a[mapper]`` with
+    per-block-row constants (a, b2), under which the aggregates evolve
+    in closed form (old values on every right-hand side):
+
+        E1 ← E1 + a·Q1 − b2·card
+        EQ ← EQ + a·(Q2 + E1) + (a² − b2)·Q1 − a·b2·card
+        Q2 ← Q2 + 2a·Q1 + a²·card
+        Q1 ← Q1 + a·card
+
+    so the scan body is O(block_size + color nnz) with no [n_rows]
+    operation.  The residual/factor arrays are reconstructed once after
+    the scan: with A = Σₖ aₖ and S = Σₖ aₖ·(Σ_{j<k} aⱼ) (the prefix
+    cross-term from each color seeing the q produced by earlier ones),
+
+        e ← e + A[mapper]·q + (S − Σb2)[mapper],   q ← q + A[mapper].
+    """
+    B = b.block_size
+    card = b.cardinality
+    E1 = _psum(jax.ops.segment_sum(e, b.mapper, num_segments=B), axis)
+    Q1 = _psum(jax.ops.segment_sum(q, b.mapper, num_segments=B), axis)
+    Q2 = _psum(
+        jax.ops.segment_sum(q * q, b.mapper, num_segments=B), axis
+    )
+    EQ = _psum(
+        jax.ops.segment_sum(e * q, b.mapper, num_segments=B), axis
+    )
+    zeros_b = jnp.zeros((B,), e.dtype)
+
+    def body(carry, xs):
+        E1_, Q1_, Q2_, EQ_, A, S, B2, v_ = carry
+        c = ColorPlan(
+            rows=xs.rows, vals=xs.vals, seg=xs.seg, feat=xs.feat,
+            sx2=xs.sx2,
+        )
+        n_seg = c.feat.shape[0]
+        lam, mu = _per_feature_prior(c, group_index, lam_col, mu_col)
+        v_old = v_[c.feat]
+        x = c.vals
+        m = c.rows
+        vo = v_old[c.seg]
+        sq_e = x * x * (
+            Q2_[m] - 2.0 * x * vo * Q1_[m] + x * x * vo * vo * card[m]
+        )
+        lin_e = -x * (EQ_[m] - x * vo * E1_[m])
+        sq = jax.ops.segment_sum(
+            sq_e, c.seg, num_segments=n_seg, indices_are_sorted=True
+        )
+        lin = jax.ops.segment_sum(
+            lin_e, c.seg, num_segments=n_seg, indices_are_sorted=True
+        )
+        lin = lin + sq * v_old
+        quad = alpha * sq + lam
+        lin = alpha * lin + lam * mu
+        v_new = _draw_normal(quad, lin, noise[c.feat])
+        delta = v_new - v_old
+        a = zeros_b.at[m].add(delta[c.seg] * x, unique_indices=True)
+        b2 = zeros_b.at[m].add(
+            delta[c.seg] * x * x * vo, unique_indices=True
+        )
+        E1n = E1_ + a * Q1_ - b2 * card
+        EQn = EQ_ + a * (Q2_ + E1_) + (a * a - b2) * Q1_ \
+            - a * b2 * card
+        Q2n = Q2_ + 2.0 * a * Q1_ + a * a * card
+        Q1n = Q1_ + a * card
+        v_ = v_.at[c.feat].set(v_new, mode="drop", unique_indices=True)
+        return (
+            E1n, Q1n, Q2n, EQn, A + a, S + a * A, B2 + b2, v_
+        ), None
+
+    carry0 = (E1, Q1, Q2, EQ, zeros_b, zeros_b, zeros_b, v)
+    (_, _, _, _, A, S, B2, v), _ = lax.scan(body, carry0, stack)
+    am = A[b.mapper]
+    e = e + am * q + (S - B2)[b.mapper]
+    q = q + am
+    return e, q, v
+
+
 def sweep_w(plan: DesignPlan, e, w, alpha, lambda_w, mu_w, key, axis=None):
     dtype = e.dtype
     noise = jax.random.normal(key, (plan.n_features,), dtype=dtype)
@@ -348,12 +480,10 @@ def sweep_w(plan: DesignPlan, e, w, alpha, lambda_w, mu_w, key, axis=None):
                 b, c, e, w, alpha, lambda_w, mu_w, noise, g, axis
             )
         if b.color_stack is not None:
-            def step(carry, c, b=b):
-                e_, w_ = carry
-                return _w_color_block(
-                    b, c, e_, w_, alpha, lambda_w, mu_w, noise, g, axis
-                )
-            e, w = _scan_colors(b.color_stack, (e, w), step)
+            e, w = _w_block_stack(
+                b, b.color_stack, e, w, alpha, lambda_w, mu_w, noise,
+                g, axis,
+            )
     return w, e
 
 
@@ -390,12 +520,10 @@ def sweep_V(plan: DesignPlan, e, V, alpha, lambda_V, mu_V, key, axis=None):
                     b, c, e, q, v_col, alpha, lam_r, mu_r, noise, g, axis
                 )
             if b.color_stack is not None:
-                def step(carry, c, b=b):
-                    return _V_color_block(
-                        b, c, carry[0], carry[1], carry[2], alpha, lam_r,
-                        mu_r, noise, g, axis,
-                    )
-                e, q, v_col = _scan_colors(b.color_stack, (e, q, v_col), step)
+                e, q, v_col = _V_block_stack(
+                    b, b.color_stack, e, q, v_col, alpha, lam_r, mu_r,
+                    noise, g, axis,
+                )
         return e, v_col
 
     e, Vt_new = lax.scan(

@@ -289,6 +289,7 @@ class ShardedGibbsTrainer:
         grouping: Optional[np.ndarray] = None,
         dtype=np.float32,
         strategy: str = "auto",
+        max_unrolled_colors: int = 16,
     ):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("data",))
@@ -301,7 +302,7 @@ class ShardedGibbsTrainer:
 
         self.plan, self.specs, mask = shard_design(
             X, X_rel, grouping, n_devices, dtype=self.dtype,
-            strategy=strategy,
+            strategy=strategy, max_unrolled_colors=max_unrolled_colors,
         )
         self.cfg = dataclasses.replace(
             cfg, axis_name="data", n_devices=n_devices

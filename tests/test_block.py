@@ -53,13 +53,21 @@ def _make_relational_problem(seed=0, n_rows=400, n_users=23, n_items=17):
     return X_main, blocks, y
 
 
-@pytest.mark.parametrize("strategy", ["auto", "serial"])
-def test_blocked_equals_flattened_regression(strategy):
+@pytest.mark.parametrize(
+    "strategy,max_unrolled",
+    [("auto", 16), ("serial", 16), ("auto", 0), ("serial", 0)],
+)
+def test_blocked_equals_flattened_regression(strategy, max_unrolled):
+    # max_unrolled=0 forces every color through the ColorStack scans
+    # (incl. the incremental block-aggregate path of _w_block_stack /
+    # _V_block_stack), checked here against the flattened main-table
+    # path which computes the same conditionals independently.
     X_main, blocks, y = _make_relational_problem()
     X_flat = expand_blocks(X_main, blocks)
 
     kwargs = dict(
-        rank=2, random_seed=3, dtype=np.float64, sweep_strategy=strategy
+        rank=2, random_seed=3, dtype=np.float64, sweep_strategy=strategy,
+        max_unrolled_colors=max_unrolled,
     )
     fm_blocked = MyFMGibbsRegressor(**kwargs).fit(
         X_main, y, X_rel=blocks, n_iter=12, n_kept_samples=12

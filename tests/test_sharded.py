@@ -15,14 +15,20 @@ from myfm_tpu.parallel.sharding import ShardedGibbsTrainer
 from .test_block import _make_relational_problem
 
 
-@pytest.mark.parametrize("n_devices", [2, 4])
-def test_sharded_equals_single_chip(n_devices):
+@pytest.mark.parametrize(
+    "n_devices,max_unrolled", [(2, 16), (4, 16), (2, 0)]
+)
+def test_sharded_equals_single_chip(n_devices, max_unrolled):
+    # max_unrolled=0 forces the ColorStack scans (incl. the incremental
+    # block-aggregate path) on both sides, so the psum-once-per-stack
+    # SPMD statistics are exercised too.
     X_main, blocks, y = _make_relational_problem(seed=13, n_rows=402)
     # 402 rows: deliberately NOT divisible by 4 to exercise row padding
 
-    fm = MyFMGibbsRegressor(rank=2, random_seed=7, dtype=np.float64).fit(
-        X_main, y, X_rel=blocks, n_iter=8, n_kept_samples=8
-    )
+    fm = MyFMGibbsRegressor(
+        rank=2, random_seed=7, dtype=np.float64,
+        max_unrolled_colors=max_unrolled,
+    ).fit(X_main, y, X_rel=blocks, n_iter=8, n_kept_samples=8)
 
     mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
     trainer = ShardedGibbsTrainer(
@@ -30,6 +36,7 @@ def test_sharded_equals_single_chip(n_devices):
         GibbsConfig(task="regression"),
         rank=2, init_stdev=0.1, random_seed=7,
         mesh=mesh, dtype=np.float64,
+        max_unrolled_colors=max_unrolled,
     )
     samples, _ = trainer.run(8, 8)
 
