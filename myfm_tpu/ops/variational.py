@@ -213,6 +213,158 @@ def _vi_w_color_block(b: BlockPlan, c: ColorPlan, e, w, w_var, alpha,
     return e, w, w_var
 
 
+def _vi_w_block_stack(b: BlockPlan, stack, e, w, w_var, alpha, lam_col,
+                      mu_col, g):
+    """Fold ``_vi_w_color_block`` over a ColorStack in O(block_size)
+    per color (same transform as ops/gibbs._w_block_stack: the
+    conditional consumes the residual only through its per-block-row
+    sum ``e1``, which evolves as ``e1 += cardinality * dxb``; the
+    [n_rows] residual is touched once after the scan)."""
+    B = b.block_size
+    card = b.cardinality
+    e1 = jax.ops.segment_sum(e, b.mapper, num_segments=B)
+    zeros_b = jnp.zeros((B,), e.dtype)
+
+    def body(carry, xs):
+        e1_, acc, w_, wv_ = carry
+        c = ColorPlan(xs.rows, xs.vals, xs.seg, xs.feat, xs.sx2)
+        n_seg = c.feat.shape[0]
+        lam = lam_col[g[c.feat]]
+        mu = mu_col[g[c.feat]]
+        w_old = w_[c.feat]
+        xe = jax.ops.segment_sum(
+            c.vals * e1_[c.rows], c.seg, num_segments=n_seg,
+            indices_are_sorted=True,
+        )
+        quad = alpha * c.sx2 + lam
+        lin = alpha * (c.sx2 * w_old - xe) + lam * mu
+        w_new = lin / quad
+        delta = w_new - w_old
+        dxb = zeros_b.at[c.rows].add(
+            delta[c.seg] * c.vals, unique_indices=True
+        )
+        w_ = w_.at[c.feat].set(w_new, mode="drop", unique_indices=True)
+        wv_ = wv_.at[c.feat].set(
+            1.0 / quad, mode="drop", unique_indices=True
+        )
+        return (e1_ + card * dxb, acc + dxb, w_, wv_), None
+
+    (_, acc, w, w_var), _ = lax.scan(
+        body, (e1, zeros_b, w, w_var), stack
+    )
+    e = e + acc[b.mapper]
+    return e, w, w_var
+
+
+def _vi_V_block_stack(b: BlockPlan, stack, carry, alpha, lam_col,
+                      mu_col, g):
+    """Fold ``_vi_V_color_block`` over a ColorStack in O(block_size)
+    per color.  The CAVI conditional consumes the row caches only
+    through seven per-block-row aggregates; under the color's updates
+    (per-block-row constants a, b2, c2, c3 applied through the mapper)
+    they evolve in closed form (old values on every right-hand side):
+
+        E1   += a·Q1 − b2·card          Q1 += a·card
+        Q2   += 2a·Q1 + a²·card         EQ += a·(Q2+E1) + (a²−b2)·Q1 − a·b2·card
+        X2S1 += c2·card                 X3SV1 += c3·card
+        QX2S += a·X2S1 + c2·Q1 + a·c2·card
+
+    The [n_rows] caches are reconstructed once after the scan with
+    A = Σa, S = Σₖ aₖ·(Σ_{j<k} aⱼ), ΣB2, ΣC2, ΣC3 (see
+    ops/gibbs._V_block_stack for the prefix cross-term derivation).
+    """
+    e, q, x2s, x3sv, v, s = carry
+    B = b.block_size
+    card = b.cardinality
+    E1 = jax.ops.segment_sum(e, b.mapper, num_segments=B)
+    Q1 = jax.ops.segment_sum(q, b.mapper, num_segments=B)
+    Q2 = jax.ops.segment_sum(q * q, b.mapper, num_segments=B)
+    EQ = jax.ops.segment_sum(e * q, b.mapper, num_segments=B)
+    X2S1 = jax.ops.segment_sum(x2s, b.mapper, num_segments=B)
+    QX2S = jax.ops.segment_sum(q * x2s, b.mapper, num_segments=B)
+    X3SV1 = jax.ops.segment_sum(x3sv, b.mapper, num_segments=B)
+    zeros_b = jnp.zeros((B,), e.dtype)
+
+    def body(scan_carry, xs):
+        (E1_, Q1_, Q2_, EQ_, X2S1_, QX2S_, X3SV1_,
+         A, S, B2s, C2s, C3s, v_, s_) = scan_carry
+        c = ColorPlan(xs.rows, xs.vals, xs.seg, xs.feat, xs.sx2)
+        n_seg = c.feat.shape[0]
+        lam = lam_col[g[c.feat]]
+        mu = mu_col[g[c.feat]]
+        vo_f = v_[c.feat]
+        so_f = s_[c.feat]
+        x = c.vals
+        m = c.rows
+        vo = vo_f[c.seg]
+        so = so_f[c.seg]
+        x2 = x * x
+
+        S_h2_e = x2 * (
+            Q2_[m] - 2 * x * vo * Q1_[m] + x2 * vo * vo * card[m]
+        )
+        S_eh_e = x * (EQ_[m] - x * vo * E1_[m])
+        S_qv_e = x2 * (X2S1_[m] - x2 * so * card[m])
+        S_lcv_e = (
+            x * QX2S_[m]
+            - x2 * x * so * Q1_[m]
+            - x2 * vo * X2S1_[m]
+            + 2 * x2 * x2 * so * vo * card[m]
+            - x * X3SV1_[m]
+        )
+
+        def seg(vals):
+            return jax.ops.segment_sum(
+                vals, c.seg, num_segments=n_seg, indices_are_sorted=True
+            )
+
+        S_h2, S_eh, S_qv, S_lcv = (
+            seg(S_h2_e), seg(S_eh_e), seg(S_qv_e), seg(S_lcv_e)
+        )
+        quad = alpha * (S_h2 + S_qv) + lam
+        lin = alpha * (-S_eh + S_h2 * vo_f - S_lcv) + lam * mu
+        vn_f = lin / quad
+        sn_f = 1.0 / quad
+        delta = vn_f - vo_f
+        dseg = delta[c.seg]
+        sn = sn_f[c.seg]
+        vn = vn_f[c.seg]
+
+        a = zeros_b.at[m].add(dseg * x, unique_indices=True)
+        b2 = zeros_b.at[m].add(dseg * x2 * vo, unique_indices=True)
+        c2 = zeros_b.at[m].add(x2 * (sn - so), unique_indices=True)
+        c3 = zeros_b.at[m].add(
+            x2 * x * (sn * vn - so * vo), unique_indices=True
+        )
+        E1n = E1_ + a * Q1_ - b2 * card
+        EQn = EQ_ + a * (Q2_ + E1_) + (a * a - b2) * Q1_ \
+            - a * b2 * card
+        Q2n = Q2_ + 2.0 * a * Q1_ + a * a * card
+        Q1n = Q1_ + a * card
+        QX2Sn = QX2S_ + a * X2S1_ + c2 * Q1_ + a * c2 * card
+        X2S1n = X2S1_ + c2 * card
+        X3SV1n = X3SV1_ + c3 * card
+        v_ = v_.at[c.feat].set(vn_f, mode="drop", unique_indices=True)
+        s_ = s_.at[c.feat].set(sn_f, mode="drop", unique_indices=True)
+        return (
+            E1n, Q1n, Q2n, EQn, X2S1n, QX2Sn, X3SV1n,
+            A + a, S + a * A, B2s + b2, C2s + c2, C3s + c3, v_, s_,
+        ), None
+
+    carry0 = (
+        E1, Q1, Q2, EQ, X2S1, QX2S, X3SV1,
+        zeros_b, zeros_b, zeros_b, zeros_b, zeros_b, v, s,
+    )
+    out, _ = lax.scan(body, carry0, stack)
+    A, S, B2s, C2s, C3s, v, s = out[7:]
+    am = A[b.mapper]
+    e = e + am * q + (S - B2s)[b.mapper]
+    q = q + am
+    x2s = x2s + C2s[b.mapper]
+    x3sv = x3sv + C3s[b.mapper]
+    return e, q, x2s, x3sv, v, s
+
+
 def vi_sweep_w(plan: DesignPlan, e, w, w_var, alpha, lambda_w, mu_w):
     g = plan.group_index
 
@@ -235,13 +387,9 @@ def vi_sweep_w(plan: DesignPlan, e, w, w_var, alpha, lambda_w, mu_w):
                 b, c, e, w, w_var, alpha, lambda_w, mu_w, g
             )
         if b.color_stack is not None:
-            def body(carry, xs, b=b):
-                c = ColorPlan(xs.rows, xs.vals, xs.seg, xs.feat, xs.sx2)
-                return _vi_w_color_block(
-                    b, c, carry[0], carry[1], carry[2], alpha, lambda_w,
-                    mu_w, g,
-                ), None
-            (e, w, w_var), _ = lax.scan(body, (e, w, w_var), b.color_stack)
+            e, w, w_var = _vi_w_block_stack(
+                b, b.color_stack, e, w, w_var, alpha, lambda_w, mu_w, g
+            )
     return e, w, w_var
 
 
@@ -416,13 +564,9 @@ def vi_sweep_V(plan: DesignPlan, e, V, V_var, alpha, lambda_V, mu_V):
             for c in b.colors:
                 carry = _vi_V_color_block(b, c, carry, alpha, lam_r, mu_r, g)
             if b.color_stack is not None:
-                def body(carry, xs, b=b):
-                    c = ColorPlan(xs.rows, xs.vals, xs.seg, xs.feat, xs.sx2)
-                    return (
-                        _vi_V_color_block(b, c, carry, alpha, lam_r, mu_r, g),
-                        None,
-                    )
-                carry, _ = lax.scan(body, carry, b.color_stack)
+                carry = _vi_V_block_stack(
+                    b, b.color_stack, carry, alpha, lam_r, mu_r, g
+                )
         e = carry[0]
         return e, (carry[4], carry[5])
 

@@ -3,6 +3,7 @@ reference test_fit.py:63-67), blocked ≡ flattened determinism, ELBO
 monotonicity, classifier behavior."""
 
 import numpy as np
+import pytest
 
 from myfm_tpu import VariationalFMClassifier, VariationalFMRegressor
 
@@ -52,10 +53,17 @@ def test_vi_regression_recovery(middle_data, stub_weight):
     assert rmse < 1.3  # noise level is 1.0
 
 
-def test_vi_blocked_equals_flattened():
+@pytest.mark.parametrize("max_unrolled", [16, 0])
+def test_vi_blocked_equals_flattened(max_unrolled):
+    # max_unrolled=0 forces every color through the ColorStack scans,
+    # incl. the incremental block-aggregate path of _vi_w_block_stack /
+    # _vi_V_block_stack, checked against the flattened main-table path.
     X_main, blocks, y = _make_relational_problem(seed=21)
     X_flat = expand_blocks(X_main, blocks)
-    kwargs = dict(rank=2, random_seed=3, dtype=np.float64)
+    kwargs = dict(
+        rank=2, random_seed=3, dtype=np.float64,
+        max_unrolled_colors=max_unrolled,
+    )
     vb = VariationalFMRegressor(**kwargs).fit(
         X_main, y, X_rel=blocks, n_iter=15
     )
