@@ -539,36 +539,47 @@ def _vi_V_color_block(b: BlockPlan, c: ColorPlan, carry, alpha, lam_col,
     return e, q, x2s, x3sv, v, s
 
 
+def vi_V_factor(plan: DesignPlan, e, v_col, s_col, alpha, lam_r, mu_r):
+    """One factor of the CAVI V sweep: (e, v_col, s_col) → updated.
+
+    Exposed standalone so the trainer's staged mode can run each factor
+    as its own dispatch on very large designs (a fused rank-R sweep is
+    one device program whose runtime grows with rank × n_rows)."""
+    g = plan.group_index
+    q = _row_cache(plan, lambda x, col: x * v_col[col])
+    x2s = _row_cache(plan, lambda x, col: x * x * s_col[col])
+    x3sv = _row_cache(
+        plan, lambda x, col: x * x * x * s_col[col] * v_col[col]
+    )
+    carry = (e, q, x2s, x3sv, v_col, s_col)
+    for c in plan.main.colors:
+        carry = _vi_V_color_main(c, carry, alpha, lam_r, mu_r, g)
+    if plan.main.color_stack is not None:
+        def body(carry, xs):
+            c = ColorPlan(xs.rows, xs.vals, xs.seg, xs.feat, xs.sx2)
+            return _vi_V_color_main(c, carry, alpha, lam_r, mu_r, g), None
+        carry, _ = lax.scan(body, carry, plan.main.color_stack)
+    for b in plan.blocks:
+        for c in b.colors:
+            carry = _vi_V_color_block(b, c, carry, alpha, lam_r, mu_r, g)
+        if b.color_stack is not None:
+            carry = _vi_V_block_stack(
+                b, b.color_stack, carry, alpha, lam_r, mu_r, g
+            )
+    return carry[0], carry[4], carry[5]
+
+
 def vi_sweep_V(plan: DesignPlan, e, V, V_var, alpha, lambda_V, mu_V):
     rank = V.shape[1]
     if rank == 0:
         return e, V, V_var
-    g = plan.group_index
 
     def factor_body(e, xs):
         v_col, s_col, lam_r, mu_r = xs
-        q = _row_cache(plan, lambda x, col: x * v_col[col])
-        x2s = _row_cache(plan, lambda x, col: x * x * s_col[col])
-        x3sv = _row_cache(
-            plan, lambda x, col: x * x * x * s_col[col] * v_col[col]
+        e, v_new, s_new = vi_V_factor(
+            plan, e, v_col, s_col, alpha, lam_r, mu_r
         )
-        carry = (e, q, x2s, x3sv, v_col, s_col)
-        for c in plan.main.colors:
-            carry = _vi_V_color_main(c, carry, alpha, lam_r, mu_r, g)
-        if plan.main.color_stack is not None:
-            def body(carry, xs):
-                c = ColorPlan(xs.rows, xs.vals, xs.seg, xs.feat, xs.sx2)
-                return _vi_V_color_main(c, carry, alpha, lam_r, mu_r, g), None
-            carry, _ = lax.scan(body, carry, plan.main.color_stack)
-        for b in plan.blocks:
-            for c in b.colors:
-                carry = _vi_V_color_block(b, c, carry, alpha, lam_r, mu_r, g)
-            if b.color_stack is not None:
-                carry = _vi_V_block_stack(
-                    b, b.color_stack, carry, alpha, lam_r, mu_r, g
-                )
-        e = carry[0]
-        return e, (carry[4], carry[5])
+        return e, (v_new, s_new)
 
     e, (Vt, St) = lax.scan(
         factor_body, e, (V.T, V_var.T, lambda_V.T, mu_V.T)
@@ -581,29 +592,42 @@ def vi_sweep_V(plan: DesignPlan, e, V, V_var, alpha, lambda_V, mu_V):
 # ---------------------------------------------------------------------------
 
 
-def vi_update_e_and_var(plan: DesignPlan, w0, w0_var, w, w_var, V, V_var):
+def vi_e_var_linear(plan: DesignPlan, w0, w0_var, w, w_var):
+    """Order-0/1 part of the residual/variance refresh."""
     n = plan.n_rows
     e = w0 + linear_term(plan, w)
     e_var_sum = n * w0_var + _entry_weight_total(
         plan, lambda x, col: x * x * w_var[col]
     )
-    rank = V.shape[1]
-    for r in range(rank):
-        v = V[:, r]
-        s = V_var[:, r]
-        q = _row_cache(plan, lambda x, col: x * v[col])
-        q_s = _row_cache(plan, lambda x, col: x * x * v[col] * v[col])
-        x2s = _row_cache(plan, lambda x, col: x * x * s[col])
-        x3sv = _row_cache(plan, lambda x, col: x**3 * s[col] * v[col])
-        x4s2 = _row_cache(plan, lambda x, col: x**4 * s[col] * s[col])
-        x4sv2 = _row_cache(
-            plan, lambda x, col: x**4 * s[col] * v[col] * v[col]
-        )
-        e = e + 0.5 * (q * q - q_s)
-        # per-row Var of the pairwise term (variational.hpp:829-830)
-        e_var_sum = e_var_sum + jnp.sum(
-            q * q * x2s + 0.5 * x2s * x2s - 2.0 * x3sv * q
-            - 0.5 * x4s2 + x4sv2
+    return e, e_var_sum
+
+
+def vi_e_var_factor(plan: DesignPlan, e, e_var_sum, v, s):
+    """One factor's contribution to the residual/variance refresh
+    (variational.hpp:715-833); standalone for the trainer's staged
+    per-factor dispatch mode."""
+    q = _row_cache(plan, lambda x, col: x * v[col])
+    q_s = _row_cache(plan, lambda x, col: x * x * v[col] * v[col])
+    x2s = _row_cache(plan, lambda x, col: x * x * s[col])
+    x3sv = _row_cache(plan, lambda x, col: x**3 * s[col] * v[col])
+    x4s2 = _row_cache(plan, lambda x, col: x**4 * s[col] * s[col])
+    x4sv2 = _row_cache(
+        plan, lambda x, col: x**4 * s[col] * v[col] * v[col]
+    )
+    e = e + 0.5 * (q * q - q_s)
+    # per-row Var of the pairwise term (variational.hpp:829-830)
+    e_var_sum = e_var_sum + jnp.sum(
+        q * q * x2s + 0.5 * x2s * x2s - 2.0 * x3sv * q
+        - 0.5 * x4s2 + x4sv2
+    )
+    return e, e_var_sum
+
+
+def vi_update_e_and_var(plan: DesignPlan, w0, w0_var, w, w_var, V, V_var):
+    e, e_var_sum = vi_e_var_linear(plan, w0, w0_var, w, w_var)
+    for r in range(V.shape[1]):
+        e, e_var_sum = vi_e_var_factor(
+            plan, e, e_var_sum, V[:, r], V_var[:, r]
         )
     return e, e_var_sum
 
@@ -617,6 +641,12 @@ def vi_update_e(plan: DesignPlan, state: VIState, y, cfg) -> VIState:
         plan, state.w0, state.w0_var, state.w, state.w_var, state.V,
         state.V_var,
     )
+    return vi_finish_e(plan, state, e, e_var_sum, y, cfg)
+
+
+def vi_finish_e(plan: DesignPlan, state: VIState, e, e_var_sum, y,
+                cfg) -> VIState:
+    """Task residual + ELBO given the recomputed (e, e_var_sum)."""
     elbo = jnp.asarray(0.0, e.dtype)
     if cfg.task == TASK_REGRESSION:
         e = e - y
@@ -692,9 +722,11 @@ def vi_update_e(plan: DesignPlan, state: VIState, y, cfg) -> VIState:
     return dataclasses.replace(state, e=e, e_var_sum=e_var_sum, elbo=elbo)
 
 
-def vi_sweep(plan: DesignPlan, state: VIState, y,
-             cfg: VariationalConfig) -> VIState:
-    """One full CAVI iteration."""
+def vi_sweep_stage_a(plan: DesignPlan, state: VIState,
+                     cfg: VariationalConfig) -> VIState:
+    """Hyperparameter + linear stages of the CAVI iteration (everything
+    before the factor sweep); standalone for the trainer's staged
+    dispatch mode on very large designs."""
     dtype = state.e.dtype
     n = plan.n_rows
 
@@ -734,6 +766,13 @@ def vi_sweep(plan: DesignPlan, state: VIState, y,
         state, lambda_V=lambda_V, lambda_V_rate=lambda_V_rate,
         mu_V=mu_V, mu_V_var=mu_V_var,
     )
+    return state
+
+
+def vi_sweep(plan: DesignPlan, state: VIState, y,
+             cfg: VariationalConfig) -> VIState:
+    """One full CAVI iteration."""
+    state = vi_sweep_stage_a(plan, state, cfg)
     e, V, V_var = vi_sweep_V(
         plan, state.e, state.V, state.V_var, state.alpha,
         state.lambda_V, state.mu_V,

@@ -18,11 +18,21 @@ from .design import DesignPlan
 from .ops.variational import (
     VariationalConfig,
     VIState,
+    vi_V_factor,
+    vi_e_var_factor,
+    vi_e_var_linear,
+    vi_finish_e,
     vi_init_state,
     vi_sweep,
+    vi_sweep_stage_a,
     vi_update_e_and_var,
 )
 from .predictor import VariationalPredictor
+
+# Above this many rows a fused rank-R sweep becomes one very long
+# device program (the axon TPU worker kills multi-minute dispatches);
+# the trainer then runs each factor as its own dispatch instead.
+_STAGED_ROWS = 2_000_000
 
 
 def _fetch_vfm(state: VIState) -> VariationalFM:
@@ -61,6 +71,7 @@ class VariationalTrainer:
         init_stdev: float,
         random_seed: int,
         dtype=np.float32,
+        staged: Optional[bool] = None,
     ):
         self.plan = plan
         self.cfg = cfg
@@ -69,9 +80,59 @@ class VariationalTrainer:
         self.random_seed = random_seed
         self.dtype = np.dtype(dtype)
         self.y = jax.numpy.asarray(np.asarray(y).astype(self.dtype))
-        self._sweep = jax.jit(
-            vi_sweep, static_argnums=(3,), donate_argnums=(1,)
+        if staged is None:
+            staged = plan.n_rows >= _STAGED_ROWS
+        self._staged = staged
+        if self._staged:
+            self._stage_a = jax.jit(
+                vi_sweep_stage_a, static_argnums=(2,), donate_argnums=(1,)
+            )
+            self._v_factor = jax.jit(vi_V_factor, donate_argnums=(1,))
+            self._ev_linear = jax.jit(vi_e_var_linear)
+            self._ev_factor = jax.jit(
+                vi_e_var_factor, donate_argnums=(1, 2)
+            )
+            self._finish_e = jax.jit(
+                vi_finish_e, static_argnums=(5,),
+                donate_argnums=(1, 2, 3),
+            )
+        else:
+            self._sweep = jax.jit(
+                vi_sweep, static_argnums=(3,), donate_argnums=(1,)
+            )
+
+    def _sweep_staged(self, state: VIState) -> VIState:
+        """vi_sweep as a sequence of bounded-duration dispatches: the
+        hyper/linear stage, then one dispatch per factor for the V
+        update and for the residual/variance refresh.  Identical math
+        to the fused sweep (same update order, same operands); only the
+        jit partitioning differs."""
+        import jax.numpy as jnp
+
+        state = self._stage_a(self.plan, state, self.cfg)
+        e = state.e
+        v_cols, s_cols = [], []
+        for r in range(self.rank):
+            e, v_col, s_col = self._v_factor(
+                self.plan, e, state.V[:, r], state.V_var[:, r],
+                state.alpha, state.lambda_V[:, r], state.mu_V[:, r],
+            )
+            v_cols.append(v_col)
+            s_cols.append(s_col)
+        if self.rank > 0:
+            V = jnp.stack(v_cols, axis=1)
+            V_var = jnp.stack(s_cols, axis=1)
+        else:
+            V, V_var = state.V, state.V_var
+        state = dataclasses.replace(state, e=e, V=V, V_var=V_var)
+        e2, ev = self._ev_linear(
+            self.plan, state.w0, state.w0_var, state.w, state.w_var
         )
+        for r in range(self.rank):
+            e2, ev = self._ev_factor(
+                self.plan, e2, ev, state.V[:, r], state.V_var[:, r]
+            )
+        return self._finish_e(self.plan, state, e2, ev, self.y, self.cfg)
 
     def _initialize(self) -> VIState:
         key = jax.random.PRNGKey(self.random_seed)
@@ -101,7 +162,10 @@ class VariationalTrainer:
         state = self._initialize()
         history = VariationalLearningHistory(hypers=None, elbos=[])
         for it in range(n_iter):
-            state = self._sweep(self.plan, state, self.y, self.cfg)
+            if self._staged:
+                state = self._sweep_staged(state)
+            else:
+                state = self._sweep(self.plan, state, self.y, self.cfg)
             history.elbos.append(float(state.elbo))
             if callback is not None:
                 should_stop = callback(
