@@ -158,14 +158,25 @@ class MyFMBase(ABC):
             On-device compute precision (default float32; the reference
             is float64-only on CPU).
         sweep_strategy:
-            "auto" → chromatic (colored) parallel Gibbs sweep;
+            "auto" → chromatic (colored) parallel Gibbs sweep, with
+            the entity-space fast path when every table is one-hot;
             "serial" → one feature per color, the faithful analogue of
             the reference's sequential scan (same chain up to float
-            reassociation, used as a parity oracle in tests).
+            reassociation, used as a parity oracle in tests);
+            "categorical" → require the entity-space fast path;
+            "joint" → colored sweep drawing full factor rows from
+            their exact R-dim Gaussian conditionals (valid Gibbs
+            blocking, one pass over the colors instead of R).
         max_unrolled_colors:
             Colors beyond this many per table execute via lax.scan
             instead of being unrolled into the XLA program.
         """
+        if sweep_strategy not in ("auto", "serial", "categorical",
+                                  "joint"):
+            raise ValueError(
+                "sweep_strategy must be one of 'auto', 'serial', "
+                f"'categorical', 'joint'; got {sweep_strategy!r}."
+            )
         self.rank = rank
         self.init_stdev = init_stdev
         self.random_seed = random_seed

@@ -100,7 +100,10 @@ class MyFMGibbsBase(MyFMBase):
                 X_rel,
                 grouping=np.asarray(config.group_index, dtype=np.int32),
                 dtype=self.dtype,
-                strategy=self.sweep_strategy,
+                strategy=(
+                    "auto" if self.sweep_strategy == "joint"
+                    else self.sweep_strategy
+                ),
                 max_unrolled_colors=self.max_unrolled_colors,
             )
         n_class = 0
@@ -118,6 +121,7 @@ class MyFMGibbsBase(MyFMBase):
             nu_oprobit=config.nu_oprobit,
             cutpoint_scale=config.cutpoint_scale,
             n_class=n_class,
+            joint_rows=self.sweep_strategy == "joint",
         )
         if cat_plan is not None:
             from .trainer import CategoricalGibbsTrainer

@@ -69,6 +69,11 @@ class GibbsConfig:
     n_class: int = 0
     axis_name: Optional[str] = None
     n_devices: int = 1
+    # sweep_strategy="joint": draw each feature's full factor row from
+    # its exact R-dim Gaussian conditional (one pass over the colors
+    # instead of R) — a valid Gibbs blocking with the same posterior
+    # but a different chain from the reference's per-(j, f) scan.
+    joint_rows: bool = False
 
 
 @dataclasses.dataclass
@@ -532,6 +537,271 @@ def sweep_V(plan: DesignPlan, e, V, alpha, lambda_V, mu_V, key, axis=None):
     return Vt_new.T, e
 
 
+# ---------------------------------------------------------------------------
+# Joint-row factor sweep (sweep_strategy="joint")
+# ---------------------------------------------------------------------------
+#
+# The FM score is exactly linear in feature j's factor row V_{j,:} given
+# every other weight (in ½[(Σᵢxᵢvᵢ)² − Σᵢxᵢ²vᵢ²] the own-quadratic
+# cancels), so p(V_{j,:} | rest) is a single R-dimensional Gaussian
+#     A = α Σₙ xₙ²φₙφₙᵀ + diag(λ),   lin = α(S v_old − Σₙ xₙeₙφₙ) + λ∘μ
+# with φₙ = qₙ − xₙ v_old (the R-vector analogue of the scalar
+# conditional in _V_color_main; setting R=1 recovers it exactly).
+# Drawing rows jointly is a *blocked* Gibbs update: the stationary
+# posterior is identical, mixing is no worse, and the factor dimension
+# collapses from R sequential passes over the colors to ONE pass — the
+# per-feature cost moves onto batched R×R Cholesky factorizations (MXU
+# work) instead of scan-step overhead.  The chain differs from the
+# reference's per-(j, f) scan, which is why this runs only under the
+# opt-in ``sweep_strategy="joint"`` (the default colored sweep remains
+# the reference-order parity oracle).  The blocked ≡ flattened contract
+# is preserved: same table decomposition → same statistics → same draws.
+
+
+def _chol_mean_sample(S, rhs, lam, xi, alpha):
+    """mean = A⁻¹ rhs and sample = mean + L⁻ᵀξ for A = αS + diag(λ)."""
+    A = alpha * S + jax.vmap(jnp.diag)(lam)
+    L = jnp.linalg.cholesky(A)
+
+    def solve_one(Lp, rp, xp):
+        z = jax.scipy.linalg.solve_triangular(Lp, rp, lower=True)
+        mean = jax.scipy.linalg.solve_triangular(
+            Lp.T, z, lower=False
+        )
+        return mean + jax.scipy.linalg.solve_triangular(
+            Lp.T, xp, lower=False
+        )
+
+    return jax.vmap(solve_one)(L, rhs, xi)
+
+
+def _V_joint_color_main(c: ColorPlan, e, q, V, alpha, lam_g, mu_g,
+                        noise, group_index, axis=None):
+    """Joint-row draw for a main-table color.  q is the full [N, R]
+    factor-sum cache; V the full [F, R] table."""
+    n_seg = c.feat.shape[0]
+    gidx = group_index[c.feat]
+    lam = lam_g[gidx, :]
+    mu = mu_g[gidx, :]
+    v_old = V[c.feat]  # [Pf, R]
+    x = c.vals[:, None]
+    phi = q[c.rows] - x * v_old[c.seg]  # [Pe, R]
+    xphi = x * phi
+    S = _psum(jax.ops.segment_sum(
+        xphi[:, :, None] * phi[:, None, :] * x[:, :, None],
+        c.seg, num_segments=n_seg, indices_are_sorted=True,
+    ), axis)
+    t = _psum(jax.ops.segment_sum(
+        e[c.rows][:, None] * xphi, c.seg, num_segments=n_seg,
+        indices_are_sorted=True,
+    ), axis)
+    rhs = alpha * (jnp.einsum("pfg,pg->pf", S, v_old) - t) + lam * mu
+    v_new = _chol_mean_sample(S, rhs, lam, noise[c.feat], alpha)
+    delta = v_new - v_old
+    dseg = delta[c.seg]  # [Pe, R]
+    e = e.at[c.rows].add(
+        jnp.sum(dseg * x * phi, axis=1), unique_indices=True
+    )
+    q = q.at[c.rows].add(dseg * x, unique_indices=True)
+    V = V.at[c.feat].set(v_new, mode="drop", unique_indices=True)
+    return e, q, V
+
+
+def _block_joint_stats(b: BlockPlan, e, q, axis=None):
+    """Per-block-row aggregates for the joint draw: E1 = Σe, Q1 = Σq,
+    EQ = Σeq, QQ = Σqqᵀ over the mapper."""
+    B = b.block_size
+    E1 = _psum(jax.ops.segment_sum(e, b.mapper, num_segments=B), axis)
+    Q1 = _psum(jax.ops.segment_sum(q, b.mapper, num_segments=B), axis)
+    EQ = _psum(jax.ops.segment_sum(
+        e[:, None] * q, b.mapper, num_segments=B
+    ), axis)
+    QQ = _psum(jax.ops.segment_sum(
+        q[:, :, None] * q[:, None, :], b.mapper, num_segments=B
+    ), axis)
+    return E1, Q1, EQ, QQ
+
+
+def _V_joint_block_color(b: BlockPlan, c: ColorPlan, stats, V, alpha,
+                         lam_g, mu_g, noise, group_index):
+    """Joint-row draw for one block color from block-row aggregates.
+
+    Within a color, block rows are feature-disjoint, so each block row
+    m carries at most one drawn feature (value x): with v = V_{j,:},
+        S_j = x²(QQ_m − x(vQ1ᵀ + Q1vᵀ) + x²·card·vvᵀ)
+        t_j = x(EQ_m − x E1_m v)
+    and the row updates are e += q·A − b2, q += A through the mapper
+    with A_m = xΔ, b2_m = x²(v_old·Δ).  Returns the per-block-row
+    (A [B,R], b2 [B]) update coefficients instead of applying them, so
+    callers can either apply directly (unrolled colors) or fold them
+    into carried aggregates (stacked scan).
+    """
+    E1, Q1, EQ, QQ = stats
+    card = b.cardinality
+    n_seg = c.feat.shape[0]
+    gidx = group_index[c.feat]
+    lam = lam_g[gidx, :]
+    mu = mu_g[gidx, :]
+    v_old = V[c.feat]  # [Pf, R]
+    B = b.block_size
+    R = v_old.shape[1]
+
+    # gather one block row per feature entry, then segment-reduce the
+    # (at most one-entry) segments to feature space
+    x = c.vals
+    m = c.rows
+    vo = v_old[c.seg]
+    qm = Q1[m]
+    S_e = (
+        x[:, None, None] ** 2 * (
+            QQ[m]
+            - x[:, None, None] * (
+                vo[:, :, None] * qm[:, None, :]
+                + qm[:, :, None] * vo[:, None, :]
+            )
+            + (x**2 * card[m])[:, None, None]
+            * vo[:, :, None] * vo[:, None, :]
+        )
+    )
+    t_e = x[:, None] * (EQ[m] - (x * E1[m])[:, None] * vo)
+
+    def seg(vals):
+        return jax.ops.segment_sum(
+            vals, c.seg, num_segments=n_seg, indices_are_sorted=True
+        )
+
+    S = seg(S_e)
+    t = seg(t_e)
+    rhs = alpha * (jnp.einsum("pfg,pg->pf", S, v_old) - t) + lam * mu
+    v_new = _chol_mean_sample(S, rhs, lam, noise[c.feat], alpha)
+    delta = v_new - v_old
+    A = jnp.zeros((B, R), v_old.dtype).at[m].add(
+        x[:, None] * delta[c.seg], unique_indices=True
+    )
+    b2 = jnp.zeros((B,), v_old.dtype).at[m].add(
+        x * x * jnp.sum(vo * delta[c.seg], axis=1), unique_indices=True
+    )
+    V = V.at[c.feat].set(v_new, mode="drop", unique_indices=True)
+    return V, A, b2
+
+
+def _update_joint_stats(stats, A, b2, card):
+    """Exact O(B·R²) aggregate recurrences under e += q·A − b2,
+    q += A (per block row; old values on every right-hand side)."""
+    E1, Q1, EQ, QQ = stats
+    QA = jnp.einsum("br,br->b", Q1, A)
+    E1n = E1 + QA - b2 * card
+    EQn = (
+        EQ
+        + jnp.einsum("bfg,bg->bf", QQ, A)
+        + E1[:, None] * A
+        + QA[:, None] * A
+        - b2[:, None] * Q1
+        - (b2 * card)[:, None] * A
+    )
+    QQn = (
+        QQ
+        + A[:, :, None] * Q1[:, None, :]
+        + Q1[:, :, None] * A[:, None, :]
+        + card[:, None, None] * A[:, :, None] * A[:, None, :]
+    )
+    Q1n = Q1 + card[:, None] * A
+    return E1n, Q1n, EQn, QQn
+
+
+def _V_joint_block_stack(b: BlockPlan, stack, e, q, V, alpha, lam_g,
+                         mu_g, noise, group_index, axis=None):
+    """Fold the joint block draw over a ColorStack with O(B·R²)/color
+    incremental aggregates (vector analogue of _V_block_stack):
+
+        E1 += Q1·A − b2·card          Q1 += A·card
+        QQ += A Q1ᵀ + Q1 Aᵀ + card·A Aᵀ
+        EQ += QQ·A + E1·A + (Q1·A)·A − b2·Q1 − b2·card·A
+
+    (old values on every right-hand side), with the [n_rows] caches
+    reconstructed once after the scan: e += q·Atot + (S − ΣB2)[mapper]
+    where S accumulates the prefix cross-term Σₖ Aₖ·P_{k−1} evaluated
+    against q's running shift (see _V_block_stack)."""
+    B = b.block_size
+    card = b.cardinality
+    E1, Q1, EQ, QQ = _block_joint_stats(b, e, q, axis)
+    R = V.shape[1]
+    zA = jnp.zeros((B, R), e.dtype)
+    zs = jnp.zeros((B,), e.dtype)
+
+    def body(carry, xs):
+        stats, At, St, B2t, V_ = carry
+        c = ColorPlan(
+            rows=xs.rows, vals=xs.vals, seg=xs.seg, feat=xs.feat,
+            sx2=xs.sx2,
+        )
+        V_, A, b2 = _V_joint_block_color(
+            b, c, stats, V_, alpha, lam_g, mu_g, noise, group_index,
+        )
+        stats = _update_joint_stats(stats, A, b2, card)
+        Stn = St + jnp.einsum("br,br->b", A, At)
+        return (stats, At + A, Stn, B2t + b2, V_), None
+
+    carry0 = ((E1, Q1, EQ, QQ), zA, zs, zs, V)
+    (_, At, St, B2t, V), _ = lax.scan(body, carry0, stack)
+    am = At[b.mapper]  # [N, R]
+    e = e + jnp.sum(am * q, axis=1) + (St - B2t)[b.mapper]
+    q = q + am
+    return e, q, V
+
+
+def sweep_V_joint(plan: DesignPlan, e, V, alpha, lambda_V, mu_V, key,
+                  axis=None):
+    """One pass over the colors drawing full factor rows jointly."""
+    rank = V.shape[1]
+    if rank == 0:
+        return V, e
+    dtype = e.dtype
+    g = plan.group_index
+    noise = jax.random.normal(
+        key, (plan.n_features, rank), dtype=dtype
+    )
+    from .forward import factor_q
+
+    q = factor_q(plan, V)  # [N, R]
+
+    for c in plan.main.colors:
+        e, q, V = _V_joint_color_main(
+            c, e, q, V, alpha, lambda_V, mu_V, noise, g, axis
+        )
+    if plan.main.color_stack is not None:
+        def step(carry, xs):
+            c = ColorPlan(
+                rows=xs.rows, vals=xs.vals, seg=xs.seg, feat=xs.feat,
+                sx2=xs.sx2,
+            )
+            e_, q_, V_ = carry
+            return _V_joint_color_main(
+                c, e_, q_, V_, alpha, lambda_V, mu_V, noise, g, axis
+            ), None
+        (e, q, V), _ = lax.scan(
+            step, (e, q, V), plan.main.color_stack
+        )
+
+    for b in plan.blocks:
+        if b.colors:
+            stats = _block_joint_stats(b, e, q, axis)
+            for c in b.colors:
+                V, A, b2 = _V_joint_block_color(
+                    b, c, stats, V, alpha, lambda_V, mu_V, noise, g
+                )
+                am = A[b.mapper]
+                e = e + jnp.sum(am * q, axis=1) - b2[b.mapper]
+                q = q + am
+                stats = _update_joint_stats(stats, A, b2, b.cardinality)
+        if b.color_stack is not None:
+            e, q, V = _V_joint_block_stack(
+                b, b.color_stack, e, q, V, alpha, lambda_V, mu_V,
+                noise, g, axis,
+            )
+    return V, e
+
+
 def refresh_e(plan: DesignPlan, state: GibbsState, w0, w, V, y, key,
               cfg: GibbsConfig):
     """Recompute residuals from scratch (FMTrainer.hpp:493-522).
@@ -626,7 +896,12 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
     mu_V = draw_mu(
         k_mv, state.V, lambda_V, plan.group_index, plan.group_counts, cfg
     )
-    V, e = sweep_V(plan, e, state.V, alpha, lambda_V, mu_V, k_v, axis)
+    if cfg.joint_rows:
+        V, e = sweep_V_joint(
+            plan, e, state.V, alpha, lambda_V, mu_V, k_v, axis
+        )
+    else:
+        V, e = sweep_V(plan, e, state.V, alpha, lambda_V, mu_V, k_v, axis)
 
     e, cutpoints, oprobit_alpha, n_mh_accept = refresh_e(
         plan, state, w0, w, V, y, k_e, cfg

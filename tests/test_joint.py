@@ -1,0 +1,145 @@
+"""Joint-row blocked Gibbs (sweep_strategy="joint").
+
+The FM score is exactly linear in one feature's factor row given all
+other weights, so p(V_j,: | rest) is an R-dim Gaussian (see
+ops/gibbs.py sweep_V_joint).  Tests: the batched Cholesky draw against
+a per-feature numpy oracle; the blocked ≡ flattened contract under the
+joint sweep (incl. forced ColorStack scans, which also exercises the
+incremental [B,R,R] aggregate recurrences); posterior concentration.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sps
+
+import jax.numpy as jnp
+
+from myfm_tpu import MyFMGibbsRegressor
+from myfm_tpu.design import ColorPlan
+from myfm_tpu.ops.gibbs import _V_joint_color_main
+
+from .oracle import expand_blocks
+from .test_block import _make_relational_problem
+
+
+def _random_color(rng, n_rows=48, n_feat=5, entries_per_feat=6, rank=3):
+    """A handmade row-disjoint feature set with its entry arrays."""
+    perm = rng.permutation(n_rows)[: n_feat * entries_per_feat]
+    rows = np.sort(perm.reshape(n_feat, entries_per_feat), axis=1)
+    seg = np.repeat(np.arange(n_feat), entries_per_feat)
+    vals = rng.normal(size=n_feat * entries_per_feat) + 2.0
+    feat = rng.permutation(12)[:n_feat]
+    return rows.ravel(), vals, seg, feat
+
+
+def _oracle_joint_main(rows, vals, seg, feat, e, q, V, alpha, lam_g,
+                       mu_g, noise, g):
+    e, q, V = e.copy(), q.copy(), V.copy()
+    for s_idx, j in enumerate(feat):
+        idx = np.where(seg == s_idx)[0]
+        x = vals[idx]
+        rr = rows[idx]
+        phi = q[rr] - x[:, None] * V[j]
+        S = np.einsum("n,nf,ng->fg", x * x, phi, phi)
+        lam = lam_g[g[j]]
+        mu = mu_g[g[j]]
+        A = alpha * S + np.diag(lam)
+        rhs = alpha * (
+            S @ V[j] - np.einsum("n,n,nf->f", x, e[rr], phi)
+        ) + lam * mu
+        L = np.linalg.cholesky(A)
+        mean = np.linalg.solve(A, rhs)
+        v_new = mean + np.linalg.solve(L.T, noise[j])
+        delta = v_new - V[j]
+        e[rr] += (phi * delta).sum(axis=1) * x
+        q[rr] += np.outer(x, delta)
+        V[j] = v_new
+    return e, q, V
+
+
+def test_joint_color_main_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    n, F, G, R = 48, 12, 3, 3
+    rows, vals, seg, feat = _random_color(rng, n_rows=n, rank=R)
+    e = rng.normal(size=n)
+    q = rng.normal(size=(n, R))
+    V = rng.normal(size=(F, R))
+    alpha = 1.7
+    lam_g = rng.gamma(2.0, 1.0, size=(G, R))
+    mu_g = rng.normal(size=(G, R))
+    noise = rng.normal(size=(F, R))
+    g = rng.randint(0, G, size=F)
+
+    c = ColorPlan(
+        rows=jnp.asarray(rows, jnp.int32),
+        vals=jnp.asarray(vals),
+        seg=jnp.asarray(seg, jnp.int32),
+        feat=jnp.asarray(feat, jnp.int32),
+        sx2=jnp.zeros(len(feat)),
+    )
+    e2, q2, V2 = _V_joint_color_main(
+        c, jnp.asarray(e), jnp.asarray(q), jnp.asarray(V),
+        jnp.asarray(alpha), jnp.asarray(lam_g), jnp.asarray(mu_g),
+        jnp.asarray(noise), jnp.asarray(g, jnp.int32),
+    )
+    e_o, q_o, V_o = _oracle_joint_main(
+        rows, vals, seg, feat, e, q, V, alpha, lam_g, mu_g, noise, g
+    )
+    np.testing.assert_allclose(np.asarray(V2), V_o, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(e2), e_o, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(q2), q_o, rtol=1e-9)
+
+
+@pytest.mark.parametrize("max_unrolled", [16, 0])
+def test_joint_blocked_equals_flattened(max_unrolled):
+    X_main, blocks, y = _make_relational_problem(seed=17)
+    X_flat = expand_blocks(X_main, blocks)
+    kwargs = dict(
+        rank=3, random_seed=11, dtype=np.float64,
+        sweep_strategy="joint", max_unrolled_colors=max_unrolled,
+    )
+    fm_blocked = MyFMGibbsRegressor(**kwargs).fit(
+        X_main, y, X_rel=blocks, n_iter=10, n_kept_samples=10
+    )
+    fm_flat = MyFMGibbsRegressor(**kwargs).fit(
+        X_flat, y, n_iter=10, n_kept_samples=10
+    )
+    np.testing.assert_allclose(
+        fm_blocked.w_samples, fm_flat.w_samples, rtol=1e-6, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        fm_blocked.V_samples, fm_flat.V_samples, rtol=1e-6, atol=1e-8
+    )
+
+
+def test_joint_posterior_concentration():
+    """Chains from the joint blocking must concentrate on the same
+    posterior as the reference-order sweep (valid Gibbs blocking)."""
+    rng = np.random.RandomState(4)
+    n, F, R = 900, 30, 2
+    Xd = (rng.random((n, F)) > 0.82) * rng.normal(size=(n, F))
+    X = sps.csr_matrix(Xd)
+    V_true = rng.normal(size=(F, R)) * 0.6
+    score = 0.5 * ((Xd @ V_true) ** 2 - (Xd**2) @ (V_true**2)).sum(
+        axis=1
+    )
+    y = score + 0.1 * rng.normal(size=n)
+
+    preds = {}
+    for strategy in ("auto", "joint"):
+        fm = MyFMGibbsRegressor(
+            rank=R, random_seed=6, dtype=np.float64,
+            sweep_strategy=strategy,
+        ).fit(X, y, n_iter=60, n_kept_samples=40)
+        preds[strategy] = fm.predict(X)
+        rmse = float(np.sqrt(np.mean((preds[strategy] - score) ** 2)))
+        assert rmse < 0.25, (strategy, rmse)
+    # both samplers reconstruct the same ground-truth scores
+    np.testing.assert_allclose(
+        preds["joint"], preds["auto"], atol=0.35
+    )
+
+
+def test_unknown_sweep_strategy_rejected():
+    with pytest.raises(ValueError, match="sweep_strategy"):
+        MyFMGibbsRegressor(rank=2, sweep_strategy="jiont")

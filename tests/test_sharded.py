@@ -90,3 +90,28 @@ def test_sharded_categorical_equals_single_chip(n_dev):
         np.testing.assert_allclose(a.w0, b[0], rtol=1e-9)
         np.testing.assert_allclose(a.w, b[1], rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(a.V, b[2], rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("n_dev", [2])
+def test_sharded_joint_equals_single_chip(n_dev):
+    """sweep_strategy='joint' under shard_map: psum'd joint statistics
+    must reproduce the single-chip joint chain."""
+    from myfm_tpu.gibbs import MyFMGibbsRegressor as _R
+
+    X_main, blocks, y = _make_relational_problem(seed=23, n_rows=402)
+    fm = _R(
+        rank=2, random_seed=7, dtype=np.float64, sweep_strategy="joint"
+    ).fit(X_main, y, X_rel=blocks, n_iter=6, n_kept_samples=6)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    trainer = ShardedGibbsTrainer(
+        X_main, blocks, y,
+        GibbsConfig(task="regression", joint_rows=True),
+        rank=2, init_stdev=0.1, random_seed=7,
+        mesh=mesh, dtype=np.float64,
+    )
+    samples, _ = trainer.run(6, 6)
+    for (w0s, ws, vs), fm_sample in zip(samples, fm.predictor_.samples):
+        np.testing.assert_allclose(w0s, fm_sample.w0, rtol=1e-8)
+        np.testing.assert_allclose(ws, fm_sample.w, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(vs, fm_sample.V, rtol=1e-6, atol=1e-9)
