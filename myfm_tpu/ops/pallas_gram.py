@@ -184,7 +184,10 @@ def _fused_gram_kernel(
     Dp = z_ref.shape[1]
     D = out_ref.shape[2]
     S = SDp // Dp
-    R = D - 2
+    # q_ref may carry extra trailing z-columns beyond the own-table
+    # factor count (e.g. the VI variance sums); the own rank is the
+    # weight-slice width minus the linear column.
+    R = wvsl_ref.shape[2] - 1
     g = pl.program_id(0)
 
     @pl.when(g == 0)
@@ -203,7 +206,8 @@ def _fused_gram_kernel(
         preferred_element_type=meta.dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
-    phi = q_ref[0]  # Q_other == q − v_own for one-hot tables
+    phi_all = q_ref[0]  # [T, D-2]: Q_other (+ extra z-columns)
+    phi = phi_all[:, :R]  # Q_other == q − v_own for one-hot tables
     qf = phi + own[:, 1:]
     score = (
         meta[:, 1]
@@ -220,7 +224,7 @@ def _fused_gram_kernel(
         z_ref[...] = jnp.zeros((T, Dp), meta.dtype)
     z_ref[:, 0] = ones
     z_ref[:, 1] = e
-    z_ref[:, 2:D] = phi
+    z_ref[:, 2:D] = phi_all
     # A[t, s*Dp + d] = z[t, d] * m[t, s], built with two whole-array
     # vector ops instead of S strided slice writes (which dominated
     # kernel time at S = 16).  The slot stride Dp is 8-aligned so the
@@ -278,9 +282,14 @@ def fused_tile_gram(
     interpret: bool = False,
 ):
     """Returns (flat partial Grams [K*S, Dp, D], carry_out [D, D]);
-    Dp = D rounded up to a multiple of 8 (rows D..Dp-1 are zero)."""
+    Dp = D rounded up to a multiple of 8 (rows D..Dp-1 are zero).
+
+    ``q_other`` may carry extra trailing z-columns beyond the own
+    factor count (width of ``wvsl`` minus one) — e.g. the VI variance
+    sums — which enter the Gram verbatim as additional z entries."""
     K, T, R = q_other.shape
     D = R + 2
+    W = wvsl.shape[2]
     Dp = -(-D // 8) * 8
     if carry_in is None:
         carry_in = jnp.zeros((D, D), q_other.dtype)
@@ -294,7 +303,7 @@ def fused_tile_gram(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, R), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, R + 1), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((1, S, W), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D, D), lambda k, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -339,7 +348,7 @@ def fused_tile_gram_reference(
         "kts,ksc->ktc", m, wvsl,
         precision=jax.lax.Precision.HIGHEST,
     )
-    phi = q_other
+    phi = q_other[:, :, : wvsl.shape[2] - 1]
     qf = phi + own[:, :, 1:]
     score = (
         meta[:, :, 1]
@@ -353,7 +362,7 @@ def fused_tile_gram_reference(
     )
     e = score * ones
     z = jnp.concatenate(
-        [ones[:, :, None], e[:, :, None], phi], axis=2
+        [ones[:, :, None], e[:, :, None], q_other], axis=2
     )
     partial = jnp.einsum(
         "kts,ktd,kte->ksde", m, z, z,

@@ -336,3 +336,54 @@ def test_block_with_categorical_side_attributes_fast_path():
     )
     pred = fm.predict(None, blocks)
     assert float(np.sqrt(np.mean((pred - y) ** 2))) < 0.5
+
+
+def test_fused_gram_extra_columns_vs_oracle():
+    """q_other may carry extra trailing z-columns (the entity-space VI
+    variance sums ride the same Gram); kernel == jnp oracle, and the
+    leading [1|e|phi] block must be unchanged by the extension."""
+    import jax.numpy as jnp
+
+    from myfm_tpu.ops.pallas_gram import (
+        fused_tile_gram,
+        fused_tile_gram_reference,
+    )
+
+    rng = np.random.RandomState(7)
+    K, T, S, R, X = 3, 16, 4, 3, 2
+    meta = rng.normal(size=(K, T, 3))
+    meta[:, :, 0] = (rng.random((K, T)) > 0.2).astype(float)  # ones
+    q_ext = rng.normal(size=(K, T, R + X))
+    slot = rng.randint(0, S, size=(K, T)).astype(np.int32)
+    wvsl = rng.normal(size=(K, S, 1 + R))
+    cont = np.zeros(K, dtype=np.int32)
+    last = np.zeros(K, dtype=np.int32)
+
+    args = lambda q: (
+        jnp.asarray(meta), jnp.asarray(q), jnp.asarray(slot),
+        jnp.asarray(wvsl), jnp.asarray(cont), jnp.asarray(cont),
+        jnp.asarray(last), S,
+    )
+    out_ext, carry_ext = fused_tile_gram(*args(q_ext), interpret=True)
+    ref_ext, ref_carry = fused_tile_gram_reference(*args(q_ext))
+    D = R + X + 2
+    np.testing.assert_allclose(
+        np.asarray(out_ext)[:, :D, :],
+        np.asarray(ref_ext).reshape(K * S, D, D),
+        rtol=1e-10, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry_ext), np.asarray(ref_carry), rtol=1e-10,
+        atol=1e-10,
+    )
+
+    # the [1|e|phi] block is identical with and without extra columns
+    out_base, _ = fused_tile_gram(
+        *args(q_ext[:, :, :R]), interpret=True
+    )
+    Db = R + 2
+    np.testing.assert_allclose(
+        np.asarray(out_ext)[:, :Db, :Db],
+        np.asarray(out_base)[:, :Db, :Db],
+        rtol=1e-12,
+    )
