@@ -420,6 +420,33 @@ def _table_pass(
     return w, V, moments
 
 
+def _row_validity(plan: CategoricalPlan, cfg: GibbsConfig, dtype):
+    """SPMD row-validity mask ([n_local], 1.0 on real rows) or None
+    single-chip (where no pad rows exist)."""
+    if cfg.axis_name is None:
+        return None
+    t0 = plan.tables[0]
+    return (t0.ent_main < t0.n_cols).astype(dtype)
+
+
+def _sliced_global_uniform(key, plan: CategoricalPlan, cfg: GibbsConfig,
+                           dtype):
+    """This shard's contiguous slice of one globally drawn U(0,1)
+    vector (threefry prefix property: uniform(key, (m,))[:n] ==
+    uniform(key, (n,)), so the n_devices=1 chain and the sharded chain
+    see identical uniforms row-for-row).  None single-chip."""
+    if cfg.axis_name is None:
+        return None
+    n_local = plan.n_rows
+    tiny = jnp.finfo(dtype).tiny
+    u_global = jax.random.uniform(
+        key, (n_local * cfg.n_devices,), dtype=dtype,
+        minval=tiny, maxval=1.0,
+    )
+    idx = lax.axis_index(cfg.axis_name)
+    return lax.dynamic_slice(u_global, (idx * n_local,), (n_local,))
+
+
 def categorical_sweep(
     plan: CategoricalPlan,
     state: CategoricalState,
@@ -513,15 +540,19 @@ def categorical_sweep(
         sum_e, sum_e2 = moments
     else:
         # probit tasks redraw the latent target per row
-        # (FMTrainer.hpp:493-522), which requires the score; each
-        # shard draws its own rows with a decorrelated key
-        if cfg.axis_name is not None:
-            k_e = jax.random.fold_in(
-                k_e, lax.axis_index(cfg.axis_name)
-            )
+        # (FMTrainer.hpp:493-522), which requires the score.  Under
+        # SPMD every shard slices its chunk of a globally drawn uniform
+        # vector (rows partition contiguously), so the sharded chain
+        # reproduces the single-chip chain sample-for-sample; pad rows
+        # are masked out of the residual moments (their scores are
+        # forced to 0 but the truncated-normal draw is still nonzero).
+        valid = _row_validity(plan, cfg, dtype)
         score = score_rows(plan, w0, w, V)
         if cfg.task == TASK_CLASSIFICATION:
-            t_draw = truncated_std_normal_onesided(k_e, -score, y > 0)
+            u = _sliced_global_uniform(k_e, plan, cfg, dtype)
+            t_draw = truncated_std_normal_onesided(
+                k_e, -score, y > 0, u=u
+            )
             tau = score + t_draw  # latent z
             e = -t_draw
         elif cfg.task == TASK_ORDERED:
@@ -531,16 +562,26 @@ def categorical_sweep(
                 sample_z_residual,
             )
 
+            # k_mh stays COMMON across shards: the MH objective is
+            # psum-reduced globally, so every shard takes the identical
+            # accept/reject decision on identical proposals
             k_mh, k_z = jax.random.split(k_e)
             oprobit_alpha, n_mh_accept = oprobit_mh_step(
                 k_mh, score, y, core.oprobit_alpha, core.n_mh_accept,
                 cfg.n_class, cfg.reg_0, float(cfg.nu_oprobit),
+                weight=valid, axis=cfg.axis_name,
             )
             cutpoints = alpha_to_gamma(oprobit_alpha)
-            e = sample_z_residual(k_z, score, y, cutpoints, cfg.n_class)
+            u = _sliced_global_uniform(k_z, plan, cfg, dtype)
+            e = sample_z_residual(
+                k_z, score, y, cutpoints, cfg.n_class, u=u
+            )
             tau = score - e  # z
         else:  # pragma: no cover
             raise NotImplementedError(cfg.task)
+        if valid is not None:
+            e = e * valid
+            tau = tau * valid
         sum_e = jnp.sum(e)
         sum_e2 = jnp.sum(e * e)
         if cfg.axis_name is not None:
@@ -569,7 +610,11 @@ def init_categorical_state(
     if cfg.task == TASK_ORDERED:
         from .oprobit import initialize_oprobit_core
 
-        core, e = initialize_oprobit_core(score, core, y, cfg, key)
+        valid = _row_validity(plan, cfg, score.dtype)
+        u = _sliced_global_uniform(key, plan, cfg, score.dtype)
+        core, e = initialize_oprobit_core(
+            score, core, y, cfg, key, weight=valid, u=u
+        )
         tau = score - e
     else:
         # regression and (±1-coded) classification both start with

@@ -844,13 +844,28 @@ def refresh_e(plan: DesignPlan, state: GibbsState, w0, w, V, y, key,
             sample_z_residual,
         )
 
+        # k_mh stays common across shards: the MH objective is globally
+        # psum-reduced, so every device takes the identical decision
         k_mh, k_z = jax.random.split(key)
         alpha_new, acc = oprobit_mh_step(
             k_mh, score, y, state.oprobit_alpha, state.n_mh_accept,
             cfg.n_class, cfg.reg_0, float(cfg.nu_oprobit),
+            weight=plan.row_mask, axis=cfg.axis_name,
         )
         gamma = alpha_to_gamma(alpha_new)
-        e = sample_z_residual(k_z, score, y, gamma, cfg.n_class)
+        u = None
+        if cfg.axis_name is not None:
+            # global-uniform slice: sharded == single-chip row-for-row
+            dtype = score.dtype
+            n_local = score.shape[0]
+            tiny = jnp.finfo(dtype).tiny
+            u_global = jax.random.uniform(
+                k_z, (n_local * cfg.n_devices,), dtype=dtype,
+                minval=tiny, maxval=1.0,
+            )
+            idx = lax.axis_index(cfg.axis_name)
+            u = lax.dynamic_slice(u_global, (idx * n_local,), (n_local,))
+        e = sample_z_residual(k_z, score, y, gamma, cfg.n_class, u=u)
         return _mask(e), gamma, alpha_new, acc
     raise NotImplementedError(f"refresh_e for task {cfg.task}")
 

@@ -58,11 +58,32 @@ def _interval_logprob(lower, upper, lower_inf, upper_inf):
     return jnp.where(lower_inf, lo_only, jnp.where(upper_inf, hi_only, both))
 
 
-def make_objective(score, y, n_class: int, reg: float):
+def make_objective(score, y, n_class: int, reg: float,
+                   weight=None, axis=None):
     """f(α) = −[Σᵢ log P(γ_{yᵢ-1} < zᵢ < γ_{yᵢ} | score) − ½ reg ‖α‖²].
 
     The per-row bounds follow OProbitSampler.hpp:402-413: class 0 uses
     the left CDF at γ₀ − s, class K−1 the right tail at γ_{K-2} − s.
+
+    ``weight`` (row validity mask) excludes SPMD pad rows from the
+    likelihood; ``axis`` psum-reduces the row sum over the data mesh so
+    every shard evaluates the *global* objective.
+    """
+    f, _, _ = make_objective_fns(
+        score, y, n_class, reg, weight=weight, axis=axis
+    )
+    return f
+
+
+def make_objective_fns(score, y, n_class: int, reg: float,
+                       weight=None, axis=None):
+    """(f, grad_f, hess_f) for the penalized negative log-likelihood.
+
+    Gradients/Hessians of the *local* row sum are taken by AD and then
+    psum-reduced explicitly (never differentiating through a
+    collective), so under shard_map every device holds the identical
+    global derivatives and the Newton/MH decisions below are
+    deterministic across the mesh.
     """
     y = y.astype(jnp.int32)
     lower_inf = y == 0
@@ -70,18 +91,34 @@ def make_objective(score, y, n_class: int, reg: float):
     yl = jnp.clip(y - 1, 0, n_class - 2)
     yu = jnp.clip(y, 0, n_class - 2)
 
-    def f(alpha):
+    def local_nll(alpha):
         gamma = alpha_to_gamma(alpha)
         lower = gamma[yl] - score
         upper = gamma[yu] - score
-        ll = jnp.sum(_interval_logprob(lower, upper, lower_inf, upper_inf))
-        ll = ll - 0.5 * reg * jnp.sum(alpha * alpha)
-        return -ll
+        ll = _interval_logprob(lower, upper, lower_inf, upper_inf)
+        if weight is not None:
+            ll = ll * weight
+        return -jnp.sum(ll)
 
-    return f
+    def _reduce(x):
+        return x if axis is None else lax.psum(x, axis)
+
+    def f(alpha):
+        return _reduce(local_nll(alpha)) + 0.5 * reg * jnp.sum(
+            alpha * alpha
+        )
+
+    def grad_f(alpha):
+        return _reduce(jax.grad(local_nll)(alpha)) + reg * alpha
+
+    def hess_f(alpha):
+        eye = jnp.eye(alpha.shape[0], dtype=alpha.dtype)
+        return _reduce(jax.hessian(local_nll)(alpha)) + reg * eye
+
+    return f, grad_f, hess_f
 
 
-def _newton_minimize(f, alpha0, max_iter=100, max_halvings=30,
+def _newton_minimize(fns, alpha0, max_iter=100, max_halvings=30,
                      epsilon=1e-5, epsilon_rel=1e-5, delta=1e-5):
     """Damped Newton with backtracking, jit-compatible.
 
@@ -89,11 +126,12 @@ def _newton_minimize(f, alpha0, max_iter=100, max_halvings=30,
     Newton direction, step-halving line search with slack ``delta``,
     termination on gradient norm (absolute/relative) or stagnation,
     NaN-guarded (a NaN trial is treated as a rejected step).
+
+    ``fns`` is the (f, grad_f, hess_f) triple from make_objective_fns;
+    each already performs the global psum under SPMD.
     """
-    grad_f = jax.grad(f)
-    hess_f = jax.hessian(f)
+    f, grad_f, hess_f = fns
     dtype = alpha0.dtype
-    K1 = alpha0.shape[0]
 
     def direction(alpha, g):
         H = hess_f(alpha)
@@ -179,14 +217,23 @@ def _log_p_mvt(H, mu, nu: float, x):
     return jnp.log1p(q / nu) * (-nu - H.shape[0]) / 2.0
 
 
-@partial(jax.jit, static_argnames=("n_class", "reg", "nu"))
+@partial(jax.jit, static_argnames=("n_class", "reg", "nu", "axis"))
 def oprobit_mh_step(key, score, y, alpha_now, accept_count,
-                    n_class: int, reg: float, nu: float):
+                    n_class: int, reg: float, nu: float,
+                    weight=None, axis=None):
     """One Metropolis-Hastings cutpoint update
-    (OProbitSampler.hpp:359-387)."""
+    (OProbitSampler.hpp:359-387).
+
+    Under SPMD (``axis``) the objective/gradient/Hessian are globally
+    psum-reduced and the proposal/accept key is COMMON across shards
+    (the caller must not fold it per-device), so every device takes the
+    identical global MH decision — the sharded chain equals the
+    single-chip chain.
+    """
     dtype = score.dtype
-    f = make_objective(score, y, n_class, reg)
-    alpha_hat, H = _newton_minimize(f, alpha_now)
+    fns = make_objective_fns(score, y, n_class, reg, weight, axis)
+    f = fns[0]
+    alpha_hat, H = _newton_minimize(fns, alpha_now)
 
     k_prop, k_u = jax.random.split(key)
     cand = alpha_hat + _sample_mvt(k_prop, H, nu, dtype)
@@ -203,29 +250,32 @@ def oprobit_mh_step(key, score, y, alpha_now, accept_count,
     return alpha_new, accept_count + accept.astype(jnp.int32)
 
 
-def sample_z_residual(key, score, y, gamma, n_class: int):
+def sample_z_residual(key, score, y, gamma, n_class: int, u=None):
     """e = score − z with z ~ TN(score, 1; [γ_{y-1}, γ_y])
     (OProbitSampler.hpp:238-272).  Infinite edge bounds flow through the
-    two-sided log-space inverse-CDF sampler naturally."""
+    two-sided log-space inverse-CDF sampler naturally.  ``u`` optionally
+    supplies the uniforms (SPMD global-slice parity)."""
     dtype = score.dtype
     y = y.astype(jnp.int32)
-    inf = jnp.asarray(jnp.inf, dtype)
     gpad_lo = jnp.concatenate([jnp.array([-jnp.inf], dtype), gamma])
     gpad_hi = jnp.concatenate([gamma, jnp.array([jnp.inf], dtype)])
     lower = gpad_lo[y] - score
     upper = gpad_hi[y] - score
-    t = truncated_std_normal_two_sided(key, lower, upper)
+    t = truncated_std_normal_two_sided(key, lower, upper, u=u)
     # z = score + t  =>  e = score − z = −t
     return -t
 
 
-def _init_cutpoints_from_score(score, y, key, n_class, reg):
+def _init_cutpoints_from_score(score, y, key, n_class, reg,
+                               weight=None, axis=None, u=None):
     """Newton MAP cutpoints from initial scores + latent-residual draw."""
-    f = make_objective(score, y, n_class, reg)
+    fns = make_objective_fns(score, y, n_class, reg, weight, axis)
     alpha0 = jnp.zeros((n_class - 1,), score.dtype)
-    alpha_hat, _ = _newton_minimize(f, alpha0)
+    alpha_hat, _ = _newton_minimize(fns, alpha0)
     gamma = alpha_to_gamma(alpha_hat)
-    e = sample_z_residual(key, score, y, gamma, n_class)
+    e = sample_z_residual(key, score, y, gamma, n_class, u=u)
+    if weight is not None:
+        e = e * weight
     return alpha_hat, gamma, e
 
 
@@ -254,13 +304,15 @@ def initialize_oprobit_state(plan, state, y_int, cfg, key):
     )
 
 
-def initialize_oprobit_core(score, core, y_int, cfg, key):
+def initialize_oprobit_core(score, core, y_int, cfg, key,
+                            weight=None, u=None):
     """Like initialize_oprobit_state but from a precomputed score
     vector (used by the categorical fast path).  Returns (core, e)."""
     import dataclasses as _dc
 
     alpha_hat, gamma, e = _init_cutpoints_from_score(
-        score, y_int, key, cfg.n_class, cfg.reg_0
+        score, y_int, key, cfg.n_class, cfg.reg_0,
+        weight=weight, axis=cfg.axis_name, u=u,
     )
     core = _dc.replace(
         core,

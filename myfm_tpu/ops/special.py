@@ -101,12 +101,14 @@ def truncated_std_normal_onesided(key, bound, greater: jax.Array, u=None):
     return sign * t
 
 
-def truncated_std_normal_two_sided(key, lower, upper):
+def truncated_std_normal_two_sided(key, lower, upper, u=None):
     """t ~ N(0,1) | lower <= t <= upper, via stable inverse CDF.
 
     Work on the side where both bounds are in the lower tail:
     t = -ndtri(exp(log(sf_u + v·(sf_l − sf_u)))) with survival functions
-    evaluated through ``log_ndtr``.
+    evaluated through ``log_ndtr``.  ``u`` optionally supplies the
+    uniform draws (the SPMD path slices a globally drawn vector so the
+    sharded chain matches the single-chip chain bit-for-bit).
     """
     lower = jnp.asarray(lower)
     dtype = lower.dtype
@@ -116,10 +118,13 @@ def truncated_std_normal_two_sided(key, lower, upper):
     # both tails: P(T > lo) >= P(T > hi); interpolate survival values
     lsf_lo = log_ndtr(-lo)
     lsf_hi = log_ndtr(-hi)
-    v = jax.random.uniform(
-        key, lower.shape, dtype=dtype,
-        minval=jnp.finfo(dtype).tiny, maxval=1.0,
-    )
+    if u is None:
+        v = jax.random.uniform(
+            key, lower.shape, dtype=dtype,
+            minval=jnp.finfo(dtype).tiny, maxval=1.0,
+        )
+    else:
+        v = u
     # log-sf of sample: log( sf_hi + v * (sf_lo - sf_hi) )
     #                 = lsf_lo + log( r + v (1 - r) ), r = exp(lsf_hi - lsf_lo)
     r = jnp.exp(jnp.clip(lsf_hi - lsf_lo, max=0.0))

@@ -312,11 +312,20 @@ class ShardedGibbsTrainer:
         y_arr = np.asarray(y).astype(self.dtype)
         y_pad[: y_arr.shape[0]] = y_arr
         self.y = jnp.asarray(y_pad)
+        ordered = cfg.task == "ordered"
+        if ordered:
+            yi = np.zeros(n_pad, dtype=np.int32)
+            yi[: y_arr.shape[0]] = np.asarray(y, dtype=np.int32)
+            self.y_int = jnp.asarray(yi)
+        else:
+            self.y_int = None
 
         state_spec = GibbsState(
             w0=P(), w=P(), V=P(), e=P("data"), alpha=P(),
             mu_w=P(), lambda_w=P(), mu_V=P(), lambda_V=P(),
-            cutpoints=None, oprobit_alpha=None, n_mh_accept=None,
+            cutpoints=P() if ordered else None,
+            oprobit_alpha=P() if ordered else None,
+            n_mh_accept=P() if ordered else None,
         )
         cfg_static = self.cfg
 
@@ -335,25 +344,74 @@ class ShardedGibbsTrainer:
         )
 
         def init_e(plan, state, y):
+            # reference initialize_e (FMTrainer.hpp:99-119): e = score−y
+            # for regression and ±1-coded classification
             score = predict_score(plan, state.w0, state.w, state.V)
             return (score - y) * plan.row_mask
 
+        init_spec = dataclasses.replace(
+            state_spec,
+            cutpoints=None, oprobit_alpha=None, n_mh_accept=None,
+        )
         self._init_e = jax.jit(
             _shard_map(
                 init_e,
                 mesh=self.mesh,
-                in_specs=(self.specs, state_spec, P("data")),
+                in_specs=(self.specs, init_spec, P("data")),
                 out_specs=P("data"),
                 check_vma=False,
             )
         )
 
+        if ordered:
+            from ..ops.oprobit import _init_cutpoints_from_score
+
+            n_devices_ = n_devices
+
+            def init_ordered(plan, state, y, key):
+                score = predict_score(
+                    plan, state.w0, state.w, state.V
+                )
+                n_local = score.shape[0]
+                tiny = jnp.finfo(score.dtype).tiny
+                u_global = jax.random.uniform(
+                    key, (n_local * n_devices_,), dtype=score.dtype,
+                    minval=tiny, maxval=1.0,
+                )
+                idx = jax.lax.axis_index("data")
+                u = jax.lax.dynamic_slice(
+                    u_global, (idx * n_local,), (n_local,)
+                )
+                alpha_hat, gamma, e = _init_cutpoints_from_score(
+                    score, y, key, cfg_static.n_class, cfg_static.reg_0,
+                    weight=plan.row_mask, axis="data", u=u,
+                )
+                return dataclasses.replace(
+                    state, e=e, cutpoints=gamma,
+                    oprobit_alpha=alpha_hat,
+                    n_mh_accept=jnp.zeros((), jnp.int32),
+                )
+
+            self._init_ordered = jax.jit(
+                _shard_map(
+                    init_ordered,
+                    mesh=self.mesh,
+                    in_specs=(
+                        self.specs, init_spec, P("data"), P()
+                    ),
+                    out_specs=state_spec,
+                    check_vma=False,
+                )
+            )
+
     def run(self, n_iter: int, n_kept_samples: int):
-        """Run the sharded chain; returns (samples, history-lite)."""
+        """Run the sharded chain; returns (samples, history-lite).
+
+        Samples are (w0, w, V) tuples, plus cutpoints for ordered."""
         master = jax.random.PRNGKey(self.random_seed)
         # identical key schedule to GibbsTrainer._initialize so the
         # sharded chain matches the single-chip chain exactly
-        k_init, _k_e = jax.random.split(jax.random.fold_in(master, 0))
+        k_init, k_e = jax.random.split(jax.random.fold_in(master, 0))
         state = init_state(
             self.plan, self.rank, self.init_stdev, k_init, self.cfg,
             self.dtype,
@@ -364,19 +422,27 @@ class ShardedGibbsTrainer:
         state = dataclasses.replace(
             state, e=jnp.zeros((n_pad,), self.dtype)
         )
-        e = self._init_e(self.plan, state, self.y)
-        state = dataclasses.replace(state, e=e)
+        ordered = self.cfg.task == "ordered"
+        if ordered:
+            state = self._init_ordered(
+                self.plan, state, self.y_int, k_e
+            )
+        else:
+            e = self._init_e(self.plan, state, self.y)
+            state = dataclasses.replace(state, e=e)
 
+        y_arg = self.y_int if ordered else self.y
         samples = []
         for it in range(n_iter):
             key = jax.random.fold_in(master, 1 + it)
-            state = self._sweep(self.plan, state, self.y, key)
+            state = self._sweep(self.plan, state, y_arg, key)
             if it + n_kept_samples >= n_iter:
-                samples.append(
-                    (
-                        float(state.w0),
-                        np.asarray(state.w),
-                        np.asarray(state.V),
-                    )
+                sample = (
+                    float(state.w0),
+                    np.asarray(state.w),
+                    np.asarray(state.V),
                 )
+                if ordered:
+                    sample = sample + (np.asarray(state.cutpoints),)
+                samples.append(sample)
         return samples, state

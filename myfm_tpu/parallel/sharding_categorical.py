@@ -300,11 +300,14 @@ class ShardedCategoricalGibbsTrainer:
                 self.plan, state, y_arg, self._y_tiles, key
             )
             if it + n_kept_samples >= n_iter:
-                samples.append(
-                    (
-                        float(state.core.w0),
-                        np.asarray(state.core.w),
-                        np.asarray(state.core.V),
-                    )
+                sample = (
+                    float(state.core.w0),
+                    np.asarray(state.core.w),
+                    np.asarray(state.core.V),
                 )
+                if self.cfg.task == "ordered":
+                    sample = sample + (
+                        np.asarray(state.core.cutpoints),
+                    )
+                samples.append(sample)
         return samples, state

@@ -92,6 +92,133 @@ def test_sharded_categorical_equals_single_chip(n_dev):
         np.testing.assert_allclose(a.V, b[2], rtol=1e-8, atol=1e-10)
 
 
+def _make_categorical_problem(seed=3, n=777, nu=23, ni=17):
+    import scipy.sparse as sps
+
+    from myfm_tpu import RelationBlock
+
+    rng = np.random.RandomState(seed)
+    u, i = rng.randint(0, nu, n), rng.randint(0, ni, n)
+    score = (
+        rng.normal(size=nu)[u] + rng.normal(size=ni)[i]
+        + 0.3 * rng.normal(size=n)
+    )
+    blocks = [
+        RelationBlock(u, sps.identity(nu, format="csr")),
+        RelationBlock(i, sps.identity(ni, format="csr")),
+    ]
+    return blocks, score
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_categorical_classification_parity(n_dev):
+    """Sharded fast-path probit classification must reproduce the
+    single-chip chain sample-for-sample: the latent truncated-normal
+    draws slice one globally drawn uniform vector, and pad-row
+    residuals are masked out of (Σe, Σe²) (advisor finding)."""
+    from myfm_tpu.design_categorical import try_compile_categorical
+    from myfm_tpu.ops.gibbs import GibbsConfig
+    from myfm_tpu.parallel.sharding_categorical import (
+        ShardedCategoricalGibbsTrainer,
+    )
+    from myfm_tpu.trainer import CategoricalGibbsTrainer
+
+    # n=401: NOT divisible by n_dev -> exercises SPMD pad rows
+    blocks, score = _make_categorical_problem(seed=5, n=401)
+    y = np.where(score > 0, 1.0, -1.0)
+    cfg = GibbsConfig(task="classification")
+
+    plan1 = try_compile_categorical(
+        None, blocks, None, None, np.float64, rank=2
+    )
+    tr1 = CategoricalGibbsTrainer(plan1, y, cfg, 2, 0.1, 7, np.float64)
+    p1, _ = tr1.run(6, 6)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    tr_n = ShardedCategoricalGibbsTrainer(
+        None, blocks, y, cfg, 2, 0.1, 7, mesh=mesh, dtype=np.float64
+    )
+    s_n, _ = tr_n.run(6, 6)
+    for a, b in zip(p1.samples, s_n):
+        np.testing.assert_allclose(a.w0, b[0], rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(a.w, b[1], rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(a.V, b[2], rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("n_dev", [2])
+def test_sharded_categorical_ordered_parity(n_dev):
+    """Sharded fast-path ordered probit: the cutpoint MH objective is
+    psum-reduced globally with a common proposal key, so every device
+    takes the identical accept decision and cutpoints stay replicated
+    (advisor finding: per-shard decisions silently diverged)."""
+    from myfm_tpu.design_categorical import try_compile_categorical
+    from myfm_tpu.ops.gibbs import GibbsConfig
+    from myfm_tpu.parallel.sharding_categorical import (
+        ShardedCategoricalGibbsTrainer,
+    )
+    from myfm_tpu.trainer import CategoricalGibbsTrainer
+
+    blocks, score = _make_categorical_problem(seed=11, n=403)
+    y = np.digitize(score, [-1.0, 0.0, 1.0]).astype(np.int32)  # 4 classes
+    cfg = GibbsConfig(task="ordered", n_class=4)
+
+    plan1 = try_compile_categorical(
+        None, blocks, None, None, np.float64, rank=2
+    )
+    tr1 = CategoricalGibbsTrainer(plan1, y, cfg, 2, 0.1, 7, np.float64)
+    p1, _ = tr1.run(6, 6)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    tr_n = ShardedCategoricalGibbsTrainer(
+        None, blocks, y, cfg, 2, 0.1, 7, mesh=mesh, dtype=np.float64
+    )
+    s_n, _ = tr_n.run(6, 6)
+    for a, b in zip(p1.samples, s_n):
+        np.testing.assert_allclose(a.w0, b[0], rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(a.w, b[1], rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(a.V, b[2], rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            a.cutpoints[0], b[3], rtol=1e-8, atol=1e-10
+        )
+
+
+@pytest.mark.parametrize("n_dev", [2])
+def test_sharded_colored_ordered_parity(n_dev):
+    """Ordered probit on the colored (general-design) sharded path."""
+    from myfm_tpu.design import compile_design
+    from myfm_tpu.ops.gibbs import GibbsConfig
+    from myfm_tpu.trainer import GibbsTrainer
+
+    X_main, blocks, score_y = _make_relational_problem(
+        seed=29, n_rows=402
+    )
+    y = np.digitize(
+        score_y, np.quantile(score_y, [0.3, 0.6, 0.85])
+    ).astype(np.int32)
+    cfg = GibbsConfig(task="ordered", n_class=4)
+
+    plan1 = compile_design(
+        X_main, blocks, grouping=None, dtype=np.float64,
+        for_training=True,
+    )
+    tr1 = GibbsTrainer(plan1, y, cfg, 2, 0.1, 7, np.float64)
+    p1, _ = tr1.run(6, 6)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    tr_n = ShardedGibbsTrainer(
+        X_main, blocks, y, cfg, rank=2, init_stdev=0.1, random_seed=7,
+        mesh=mesh, dtype=np.float64,
+    )
+    s_n, _ = tr_n.run(6, 6)
+    for a, b in zip(p1.samples, s_n):
+        np.testing.assert_allclose(a.w0, b[0], rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(a.w, b[1], rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(a.V, b[2], rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            a.cutpoints[0], b[3], rtol=1e-8, atol=1e-10
+        )
+
+
 @pytest.mark.parametrize("n_dev", [2])
 def test_sharded_joint_equals_single_chip(n_dev):
     """sweep_strategy='joint' under shard_map: psum'd joint statistics
