@@ -122,6 +122,41 @@ jax.tree_util.register_dataclass(
 
 
 @dataclasses.dataclass(frozen=True)
+class DenseColor:
+    """One color in dense block-row form (for the joint sweep).
+
+    Within a color every block row belongs to at most one drawn
+    feature, so the ragged entry lists collapse to B-length vectors —
+    all per-step work becomes lane-parallel [B]-vector arithmetic and
+    tiny one-hot matmuls, with no gathers or scatters in the scan body
+    (see ops/joint.py for the measured motivation).
+    """
+
+    xw: jax.Array  # [B] float — x value at each block row (0 = absent)
+    segb: jax.Array  # [B] int32 — feature slot in `feat` (pad = Pf)
+    feat: jax.Array  # [Pf] int32 — global feature ids (pad = F_total)
+
+
+jax.tree_util.register_dataclass(
+    DenseColor, data_fields=["xw", "segb", "feat"], meta_fields=[]
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseStack:
+    """Stacked DenseColors (common Pf) for a lax.scan sweep."""
+
+    xw: jax.Array  # [C, B]
+    segb: jax.Array  # [C, B]
+    feat: jax.Array  # [C, Pf]
+
+
+jax.tree_util.register_dataclass(
+    DenseStack, data_fields=["xw", "segb", "feat"], meta_fields=[]
+)
+
+
+@dataclasses.dataclass(frozen=True)
 class BlockPlan:
     """Compiled RelationBlock: block-row COO + mapper + cardinality.
 
@@ -130,6 +165,10 @@ class BlockPlan:
     instead of incrementally un-/re-synchronised caches, the TPU sweep
     recomputes the four segment aggregates (Σe, Σq, Σq², Σeq per block
     row) with O(n_rows) segment-sums before each color step.
+
+    ``dense_colors``/``dense_stack`` are the joint-sweep dense color
+    operands (compiled only with ``joint_dense=True`` and when the
+    C×B footprint fits the budget).
     """
 
     coo_row: jax.Array  # [Pe_all] int32 — block rows
@@ -142,6 +181,8 @@ class BlockPlan:
     col_offset: int = dataclasses.field(metadata=dict(static=True))
     n_cols: int = dataclasses.field(metadata=dict(static=True))
     block_size: int = dataclasses.field(metadata=dict(static=True))
+    dense_colors: Tuple[DenseColor, ...] = ()
+    dense_stack: Optional[DenseStack] = None
 
 
 jax.tree_util.register_dataclass(
@@ -154,6 +195,8 @@ jax.tree_util.register_dataclass(
         "color_stack",
         "mapper",
         "cardinality",
+        "dense_colors",
+        "dense_stack",
     ],
     meta_fields=["col_offset", "n_cols", "block_size"],
 )
@@ -293,6 +336,60 @@ def _build_color_arrays(
     )
 
 
+def _build_dense_colors(
+    csc: sps.csc_matrix,
+    groups: List[np.ndarray],
+    col_offset: int,
+    n_features_total: int,
+    dtype: np.dtype,
+    max_unrolled_colors: int,
+    budget_elements: int,
+) -> Tuple[Optional[Tuple[DenseColor, ...]], Optional[DenseStack]]:
+    """Dense per-block-row color operands for the joint sweep.
+
+    The first ``max_unrolled_colors`` (large) colors become individual
+    DenseColors with their own Pf; the tail is stacked with a common Pf
+    for the scan.  Returns (None, None) when C×B exceeds the budget."""
+    B = csc.shape[0]
+    if len(groups) * B > budget_elements:
+        return None, None
+    indptr, indices, data = csc.indptr, csc.indices, csc.data
+
+    def one(feats_local, pf=None):
+        idx, counts = _take_segments(indptr, feats_local)
+        n_feat = len(feats_local)
+        Pf = pf if pf is not None else _pad_to(n_feat)
+        xw = np.zeros(B, dtype=dtype)
+        segb = np.full(B, Pf, dtype=np.int32)
+        rows = indices[idx]
+        xw[rows] = data[idx]
+        segb[rows] = np.repeat(
+            np.arange(n_feat, dtype=np.int32), counts
+        )
+        feat = np.full(Pf, n_features_total, dtype=np.int32)
+        feat[:n_feat] = feats_local + col_offset
+        return xw, segb, feat
+
+    unrolled = groups[:max_unrolled_colors]
+    stacked = groups[max_unrolled_colors:]
+    dense_colors = tuple(
+        DenseColor(
+            xw=jnp.asarray(x), segb=jnp.asarray(s), feat=jnp.asarray(f)
+        )
+        for x, s, f in (one(g) for g in unrolled)
+    )
+    dense_stack = None
+    if stacked:
+        pf = _pad_to(max(len(g) for g in stacked))
+        built = [one(g, pf=pf) for g in stacked]
+        dense_stack = DenseStack(
+            xw=jnp.asarray(np.stack([b[0] for b in built])),
+            segb=jnp.asarray(np.stack([b[1] for b in built])),
+            feat=jnp.asarray(np.stack([b[2] for b in built])),
+        )
+    return dense_colors, dense_stack
+
+
 def _compile_table(
     X: sps.csr_matrix,
     col_offset: int,
@@ -302,6 +399,8 @@ def _compile_table(
     expanded_weight: Optional[np.ndarray],
     max_unrolled_colors: int,
     for_training: bool,
+    joint_dense: bool = False,
+    dense_budget: int = 64 << 20,
 ):
     """Shared compilation for main tables and block tables.
 
@@ -321,6 +420,8 @@ def _compile_table(
 
     colors: Tuple[ColorPlan, ...] = ()
     color_stack = None
+    dense_colors: Optional[Tuple[DenseColor, ...]] = None
+    dense_stack: Optional[DenseStack] = None
     if for_training and n_cols > 0:
         csc = X.tocsc()
         csc.sort_indices()
@@ -337,6 +438,12 @@ def _compile_table(
             groups = _serial_colors(n_cols)
         else:
             groups = greedy_color(csc)
+
+        if joint_dense:
+            dense_colors, dense_stack = _build_dense_colors(
+                csc, groups, col_offset, n_features_total, dtype,
+                max_unrolled_colors, dense_budget,
+            )
 
         unrolled = groups[:max_unrolled_colors]
         stacked = groups[max_unrolled_colors:]
@@ -382,6 +489,8 @@ def _compile_table(
         jnp.asarray(coo_val),
         colors,
         color_stack,
+        dense_colors,
+        dense_stack,
     )
 
 
@@ -394,12 +503,18 @@ def compile_design(
     strategy: str = "auto",
     max_unrolled_colors: int = 16,
     for_training: bool = True,
+    joint_dense: bool = False,
+    dense_budget: int = 64 << 20,
 ) -> DesignPlan:
     """Compile (X, blocks) into a static device plan.
 
     ``strategy``: ``"auto"`` uses chromatic coloring; ``"serial"`` makes
     every feature its own color (the bit-faithful analogue of the
     reference's serial scan — same conditionals, same draw order).
+
+    ``joint_dense``: additionally emit dense block-row color operands
+    for the merged joint sweep (ops/joint.py) when each block's
+    n_colors × block_size fits ``dense_budget`` elements.
     """
     dtype = np.dtype(dtype)
     if X is None:
@@ -439,7 +554,7 @@ def compile_design(
             )
     group_counts = np.bincount(grouping, minlength=n_groups).astype(dtype)
 
-    coo_row, coo_col, coo_val, colors, cstack = _compile_table(
+    coo_row, coo_col, coo_val, colors, cstack, _, _ = _compile_table(
         X, 0, n_features, dtype, strategy, None, max_unrolled_colors,
         for_training,
     )
@@ -460,7 +575,8 @@ def compile_design(
             b.original_to_block, minlength=b.block_size
         ).astype(dtype)
         bx = sps.csr_matrix(b.data).astype(dtype)
-        coo_row, coo_col, coo_val, colors, cstack = _compile_table(
+        (coo_row, coo_col, coo_val, colors, cstack, dcolors,
+         dstack) = _compile_table(
             bx,
             offset,
             n_features,
@@ -469,6 +585,8 @@ def compile_design(
             card,
             max_unrolled_colors,
             for_training,
+            joint_dense=joint_dense,
+            dense_budget=dense_budget,
         )
         compiled_blocks.append(
             BlockPlan(
@@ -482,6 +600,8 @@ def compile_design(
                 col_offset=offset,
                 n_cols=b.feature_size,
                 block_size=b.block_size,
+                dense_colors=dcolors if dcolors is not None else (),
+                dense_stack=dstack,
             )
         )
         offset += b.feature_size

@@ -105,6 +105,7 @@ class MyFMGibbsBase(MyFMBase):
                     else self.sweep_strategy
                 ),
                 max_unrolled_colors=self.max_unrolled_colors,
+                joint_dense=self.sweep_strategy == "joint",
             )
         n_class = 0
         if config.cutpoint_groups:

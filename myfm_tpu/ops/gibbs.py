@@ -69,11 +69,17 @@ class GibbsConfig:
     n_class: int = 0
     axis_name: Optional[str] = None
     n_devices: int = 1
-    # sweep_strategy="joint": draw each feature's full factor row from
-    # its exact R-dim Gaussian conditional (one pass over the colors
-    # instead of R) — a valid Gibbs blocking with the same posterior
-    # but a different chain from the reference's per-(j, f) scan.
+    # sweep_strategy="joint": draw each feature's full extended row
+    # [w_j | V_{j,:}] from its exact (R+1)-dim Gaussian conditional
+    # (one pass over the colors instead of 1 + R) — a valid Gibbs
+    # blocking with the same posterior but a different chain from the
+    # reference's per-(j, f) scan.  With fit_linear=False only the
+    # R-dim factor rows are drawn jointly (ops/gibbs.sweep_V_joint).
     joint_rows: bool = False
+    # static unroll factor for the color-stack scans on the joint path
+    # (measured: lax.scan costs ~370 us/step at unroll=1 on a v5e but
+    # ~37 us/step at unroll>=2; see ops/joint.py)
+    joint_unroll: int = 4
 
 
 @dataclasses.dataclass
@@ -90,13 +96,17 @@ class GibbsState:
     cutpoints: Optional[jax.Array] = None  # [K-1] (ordered probit)
     oprobit_alpha: Optional[jax.Array] = None  # [K-1] unconstrained cutpoints
     n_mh_accept: Optional[jax.Array] = None  # scalar int
+    # factor-sum cache q = X·V [N, R], carried across sweeps by the
+    # merged joint path only (None elsewhere); maintained exactly by
+    # the color updates, so recomputing it per sweep is pure overhead
+    q: Optional[jax.Array] = None
 
 
 jax.tree_util.register_dataclass(
     GibbsState,
     data_fields=[
         "w0", "w", "V", "e", "alpha", "mu_w", "lambda_w", "mu_V",
-        "lambda_V", "cutpoints", "oprobit_alpha", "n_mh_accept",
+        "lambda_V", "cutpoints", "oprobit_alpha", "n_mh_accept", "q",
     ],
     meta_fields=[],
 )
@@ -902,7 +912,9 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
         k_mw, state.w, lambda_w, plan.group_index, plan.group_counts, cfg
     )
     w = state.w
-    if cfg.fit_linear:
+    # the merged joint path draws (w_j, V_j) together below
+    merged = cfg.joint_rows and cfg.fit_linear
+    if cfg.fit_linear and not merged:
         w, e = sweep_w(plan, e, w, alpha, lambda_w, mu_w, k_w, axis)
 
     lambda_V = draw_lambda(
@@ -911,20 +923,43 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
     mu_V = draw_mu(
         k_mv, state.V, lambda_V, plan.group_index, plan.group_counts, cfg
     )
-    if cfg.joint_rows:
+    q_cache = state.q
+    if merged:
+        from .joint import sweep_joint_u
+
+        w, V, e, q_cache = sweep_joint_u(
+            plan, e, w, state.V, alpha, lambda_w, mu_w, lambda_V,
+            mu_V, k_v, axis, unroll=cfg.joint_unroll, q=state.q,
+        )
+    elif cfg.joint_rows:
         V, e = sweep_V_joint(
             plan, e, state.V, alpha, lambda_V, mu_V, k_v, axis
         )
     else:
         V, e = sweep_V(plan, e, state.V, alpha, lambda_V, mu_V, k_v, axis)
 
-    e, cutpoints, oprobit_alpha, n_mh_accept = refresh_e(
-        plan, state, w0, w, V, y, k_e, cfg
-    )
-    if cfg.task != TASK_ORDERED:
+    if merged and cfg.task == TASK_REGRESSION:
+        # the merged joint pass maintains e = score − y exactly through
+        # every color update; the reference's per-sweep re-forward
+        # (update_e, FMTrainer.hpp:493-497) recomputes the SAME value,
+        # so skipping it changes nothing but float round-off (drift is
+        # a random walk of O(eps) increments — orders of magnitude
+        # below posterior noise even over thousands of sweeps)
+        if plan.row_mask is not None:
+            # SPMD pad rows gather clamped (garbage) block updates;
+            # refresh_e used to re-zero them — mask explicitly instead
+            e = e * plan.row_mask
         cutpoints = state.cutpoints
         oprobit_alpha = state.oprobit_alpha
         n_mh_accept = state.n_mh_accept
+    else:
+        e, cutpoints, oprobit_alpha, n_mh_accept = refresh_e(
+            plan, state, w0, w, V, y, k_e, cfg
+        )
+        if cfg.task != TASK_ORDERED:
+            cutpoints = state.cutpoints
+            oprobit_alpha = state.oprobit_alpha
+            n_mh_accept = state.n_mh_accept
 
     return GibbsState(
         w0=w0, w=w, V=V, e=e, alpha=alpha,
@@ -932,6 +967,7 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
         cutpoints=cutpoints,
         oprobit_alpha=oprobit_alpha,
         n_mh_accept=n_mh_accept,
+        q=q_cache,
     )
 
 

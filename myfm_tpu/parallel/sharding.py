@@ -42,6 +42,8 @@ from ..design import (
     BlockPlan,
     ColorPlan,
     ColorStack,
+    DenseColor,
+    DenseStack,
     DesignPlan,
     TablePlan,
     compile_design,
@@ -95,6 +97,7 @@ def shard_design(
     dtype=np.float32,
     strategy: str = "auto",
     max_unrolled_colors: int = 16,
+    joint_dense: bool = False,
 ) -> Tuple[DesignPlan, DesignPlan, np.ndarray]:
     """Compile globally, then shard by rows.
 
@@ -105,6 +108,7 @@ def shard_design(
     plan = compile_design(
         X, blocks, grouping=grouping, dtype=dtype, strategy=strategy,
         max_unrolled_colors=max_unrolled_colors, for_training=True,
+        joint_dense=joint_dense,
     )
     n = plan.n_rows
     n_local = -(-n // n_devices)  # ceil
@@ -225,6 +229,8 @@ def shard_design(
             col_offset=b.col_offset,
             n_cols=b.n_cols,
             block_size=b.block_size,
+            dense_colors=b.dense_colors,
+            dense_stack=b.dense_stack,
         )
         spec_colors = tuple(
             ColorPlan(rows=rep, vals=rep, seg=rep, feat=rep, sx2=rep)
@@ -246,6 +252,15 @@ def shard_design(
             col_offset=b.col_offset,
             n_cols=b.n_cols,
             block_size=b.block_size,
+            dense_colors=tuple(
+                DenseColor(xw=rep, segb=rep, feat=rep)
+                for _ in b.dense_colors
+            ),
+            dense_stack=(
+                None
+                if b.dense_stack is None
+                else DenseStack(xw=rep, segb=rep, feat=rep)
+            ),
         )
         out_blocks.append(bp)
         out_block_specs.append(bs)
@@ -303,6 +318,7 @@ class ShardedGibbsTrainer:
         self.plan, self.specs, mask = shard_design(
             X, X_rel, grouping, n_devices, dtype=self.dtype,
             strategy=strategy, max_unrolled_colors=max_unrolled_colors,
+            joint_dense=cfg.joint_rows,
         )
         self.cfg = dataclasses.replace(
             cfg, axis_name="data", n_devices=n_devices
@@ -320,12 +336,14 @@ class ShardedGibbsTrainer:
         else:
             self.y_int = None
 
+        merged_joint = cfg.joint_rows and cfg.fit_linear
         state_spec = GibbsState(
             w0=P(), w=P(), V=P(), e=P("data"), alpha=P(),
             mu_w=P(), lambda_w=P(), mu_V=P(), lambda_V=P(),
             cutpoints=P() if ordered else None,
             oprobit_alpha=P() if ordered else None,
             n_mh_accept=P() if ordered else None,
+            q=P("data") if merged_joint else None,
         )
         cfg_static = self.cfg
 
@@ -352,7 +370,24 @@ class ShardedGibbsTrainer:
         init_spec = dataclasses.replace(
             state_spec,
             cutpoints=None, oprobit_alpha=None, n_mh_accept=None,
+            q=None,
         )
+        if merged_joint:
+            from ..ops.forward import factor_q as _factor_q
+
+            def init_q(plan, state):
+                return _factor_q(plan, state.V)
+
+            self._init_q = jax.jit(
+                _shard_map(
+                    init_q,
+                    mesh=self.mesh,
+                    in_specs=(self.specs, init_spec),
+                    out_specs=P("data"),
+                    check_vma=False,
+                )
+            )
+        self._merged_joint = merged_joint
         self._init_e = jax.jit(
             _shard_map(
                 init_e,
@@ -399,7 +434,7 @@ class ShardedGibbsTrainer:
                     in_specs=(
                         self.specs, init_spec, P("data"), P()
                     ),
-                    out_specs=state_spec,
+                    out_specs=dataclasses.replace(state_spec, q=None),
                     check_vma=False,
                 )
             )
@@ -430,6 +465,15 @@ class ShardedGibbsTrainer:
         else:
             e = self._init_e(self.plan, state, self.y)
             state = dataclasses.replace(state, e=e)
+        if self._merged_joint:
+            q0 = self._init_q(
+                self.plan,
+                dataclasses.replace(
+                    state, q=None, cutpoints=None,
+                    oprobit_alpha=None, n_mh_accept=None,
+                ),
+            )
+            state = dataclasses.replace(state, q=q0)
 
         y_arg = self.y_int if ordered else self.y
         samples = []

@@ -115,6 +115,10 @@ class GibbsTrainer:
         )
 
     def _initialize(self, key) -> GibbsState:
+        import dataclasses
+
+        from .ops.forward import factor_q
+
         k_init, k_e = jax.random.split(key)
         state = init_state(
             self.plan, self.rank, self.init_stdev, k_init, self.cfg,
@@ -122,23 +126,32 @@ class GibbsTrainer:
         )
 
         if self.cfg.task == TASK_ORDERED:
-            return oprobit_ops.initialize_oprobit_state(
+            state = oprobit_ops.initialize_oprobit_state(
                 self.plan, state, self.y_int, self.cfg, k_e
             )
+        else:
 
-        @jax.jit
-        def init_e(state, y):
-            score = predict_score(self.plan, state.w0, state.w, state.V)
-            # reference initialize_e (FMTrainer.hpp:99-119): e = score - y
-            # for both regression and (±1-coded) classification.
-            return score - y
+            @jax.jit
+            def init_e(state, y):
+                score = predict_score(
+                    self.plan, state.w0, state.w, state.V
+                )
+                # reference initialize_e (FMTrainer.hpp:99-119):
+                # e = score - y for regression and ±1 classification.
+                return score - y
 
-        e = init_e(state, self.y)
-        return GibbsState(
-            w0=state.w0, w=state.w, V=state.V, e=e, alpha=state.alpha,
-            mu_w=state.mu_w, lambda_w=state.lambda_w, mu_V=state.mu_V,
-            lambda_V=state.lambda_V,
-        )
+            e = init_e(state, self.y)
+            state = GibbsState(
+                w0=state.w0, w=state.w, V=state.V, e=e,
+                alpha=state.alpha, mu_w=state.mu_w,
+                lambda_w=state.lambda_w, mu_V=state.mu_V,
+                lambda_V=state.lambda_V,
+            )
+        if self.cfg.joint_rows and self.cfg.fit_linear:
+            # the merged joint sweep carries the factor-sum cache q
+            q0 = jax.jit(factor_q)(self.plan, state.V)
+            state = dataclasses.replace(state, q=q0)
+        return state
 
     def run(
         self,

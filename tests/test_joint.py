@@ -90,6 +90,104 @@ def test_joint_color_main_matches_numpy_oracle():
     np.testing.assert_allclose(np.asarray(q2), q_o, rtol=1e-9)
 
 
+def _oracle_joint_u_main(rows, vals, seg, feat, e, q, w, V, alpha,
+                         lam_w, mu_w, lam_g, mu_g, noise, g):
+    """Serial numpy oracle of the merged (R+1)-dim [w_j | V_j] draw."""
+    e, q, w, V = e.copy(), q.copy(), w.copy(), V.copy()
+    for s_idx, j in enumerate(feat):
+        idx = np.where(seg == s_idx)[0]
+        x = vals[idx]
+        rr = rows[idx]
+        phi = q[rr] - x[:, None] * V[j]
+        psi = x[:, None] * np.concatenate(
+            [np.ones((len(idx), 1)), phi], axis=1
+        )
+        S = np.einsum("nf,ng->fg", psi, psi)
+        lam = np.concatenate([[lam_w[g[j]]], lam_g[g[j]]])
+        mu = np.concatenate([[mu_w[g[j]]], mu_g[g[j]]])
+        u_old = np.concatenate([[w[j]], V[j]])
+        A = alpha * S + np.diag(lam)
+        rhs = alpha * (S @ u_old - psi.T @ e[rr]) + lam * mu
+        L = np.linalg.cholesky(A)
+        u_new = np.linalg.solve(A, rhs) + np.linalg.solve(
+            L.T, noise[j]
+        )
+        delta = u_new - u_old
+        e[rr] += psi @ delta
+        q[rr] += np.outer(x, delta[1:])
+        w[j], V[j] = u_new[0], u_new[1:]
+    return e, q, w, V
+
+
+def test_joint_u_color_main_matches_numpy_oracle():
+    from myfm_tpu.ops.joint import _joint_u_color_main
+
+    rng = np.random.RandomState(2)
+    n, F, G, R = 48, 12, 3, 3
+    rows, vals, seg, feat = _random_color(rng, n_rows=n, rank=R)
+    e = rng.normal(size=n)
+    q = rng.normal(size=(n, R))
+    w = rng.normal(size=F)
+    V = rng.normal(size=(F, R))
+    alpha = 1.3
+    lam_w = rng.gamma(2.0, 1.0, size=G)
+    mu_w = rng.normal(size=G)
+    lam_g = rng.gamma(2.0, 1.0, size=(G, R))
+    mu_g = rng.normal(size=(G, R))
+    noise = rng.normal(size=(F, R + 1))
+    g = rng.randint(0, G, size=F)
+
+    c = ColorPlan(
+        rows=jnp.asarray(rows, jnp.int32),
+        vals=jnp.asarray(vals),
+        seg=jnp.asarray(seg, jnp.int32),
+        feat=jnp.asarray(feat, jnp.int32),
+        sx2=jnp.zeros(len(feat)),
+    )
+    U = jnp.concatenate([jnp.asarray(w)[:, None], jnp.asarray(V)], 1)
+    lam_gu = jnp.concatenate(
+        [jnp.asarray(lam_w)[:, None], jnp.asarray(lam_g)], 1
+    )
+    mu_gu = jnp.concatenate(
+        [jnp.asarray(mu_w)[:, None], jnp.asarray(mu_g)], 1
+    )
+    e2, q2, U2 = _joint_u_color_main(
+        c, jnp.asarray(e), jnp.asarray(q), U, jnp.asarray(alpha),
+        lam_gu, mu_gu, jnp.asarray(noise), jnp.asarray(g, jnp.int32),
+    )
+    e_o, q_o, w_o, V_o = _oracle_joint_u_main(
+        rows, vals, seg, feat, e, q, w, V, alpha, lam_w, mu_w, lam_g,
+        mu_g, noise, g,
+    )
+    np.testing.assert_allclose(np.asarray(U2[:, 0]), w_o, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(U2[:, 1:]), V_o, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(e2), e_o, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(q2), q_o, rtol=1e-9)
+
+
+def test_unrolled_chol_solve_sample():
+    """chol_solve_sample == dense numpy A^{-1}rhs + L^{-T}xi."""
+    from myfm_tpu.ops.joint import chol_solve_sample
+
+    rng = np.random.RandomState(7)
+    B, D = 17, 6
+    M = rng.normal(size=(B, D, D))
+    A = np.einsum("bij,bkj->bik", M, M) + 3.0 * np.eye(D)
+    rhs = rng.normal(size=(B, D))
+    xi = rng.normal(size=(B, D))
+    out = np.asarray(
+        chol_solve_sample(
+            jnp.asarray(A), jnp.asarray(rhs), jnp.asarray(xi)
+        )
+    )
+    for b in range(B):
+        L = np.linalg.cholesky(A[b])
+        want = np.linalg.solve(A[b], rhs[b]) + np.linalg.solve(
+            L.T, xi[b]
+        )
+        np.testing.assert_allclose(out[b], want, rtol=1e-9, atol=1e-10)
+
+
 @pytest.mark.parametrize("max_unrolled", [16, 0])
 def test_joint_blocked_equals_flattened(max_unrolled):
     X_main, blocks, y = _make_relational_problem(seed=17)
