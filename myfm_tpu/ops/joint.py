@@ -371,25 +371,24 @@ def _joint_u_block_pass(b: BlockPlan, e, q, U, alpha, lam_gu, mu_gu,
 #   slab updates.
 
 
-def _dense_color_step(G, U, dc: DenseColor, alpha, lam_gu, mu_gu,
-                      noise, group_index, D):
+def _dense_color_step(G, xw, segb, u_old, lam, mu, xi, alpha, D):
     """One dense color: G is the FLAT lanes-major Gram [D·D, B]
     (flat row k = Ĝ[k//D, k%D]; minor-dim B rides the 128 lanes, so
     the physical footprint has no tile padding on the stats dims).
 
-    Returns (U, a0 [B], A_B [R, B]) — the per-block-row update
-    coefficients for e += a0 + q·A, q += A."""
+    Each feature belongs to exactly ONE color, so its weight row,
+    prior and noise (u_old/lam/mu/xi, all [Pf, R+1]) are pre-gathered
+    by the caller once per sweep — the scan body does no gathers or
+    scatters at all.
+
+    Returns (u_new [Pf, R+1], a0 [B], A_B [R, B]) — the per-block-row
+    update coefficients for e += a0 + q·A, q += A."""
     R = D - 2
     dtype = G.dtype
-    Pf = dc.feat.shape[0]
-    gidx = group_index[dc.feat]
-    lam = lam_gu[gidx]
-    mu = mu_gu[gidx]
-    u_old = U[dc.feat]  # [Pf, R+1]
+    Pf = u_old.shape[0]
     vT = u_old[:, 1:].T  # [R, Pf]
 
-    oh = jax.nn.one_hot(dc.segb, Pf + 1, dtype=dtype)[:, :Pf]  # [B, Pf]
-    xw = dc.xw
+    oh = jax.nn.one_hot(segb, Pf + 1, dtype=dtype)[:, :Pf]  # [B, Pf]
     x2 = xw * xw
     wq = jnp.concatenate(
         [
@@ -430,7 +429,7 @@ def _dense_color_step(G, U, dc: DenseColor, alpha, lam_gu, mu_gu,
         [w1[0:1], w1[2:] - G2[0, 1][None] * vT], axis=0
     ).T  # [Pf, R+1]
 
-    u_new = _draw_u(S, t, u_old, lam, mu, alpha, noise[dc.feat])
+    u_new = _draw_u(S, t, u_old, lam, mu, alpha, xi)
     delta = u_new - u_old
     dw = delta[:, 0]
     dv = delta[:, 1:]
@@ -439,8 +438,7 @@ def _dense_color_step(G, U, dc: DenseColor, alpha, lam_gu, mu_gu,
     c0B = jnp.einsum("bp,p->b", oh, c0, precision=_HI)
     a0 = xw * dwB - x2 * c0B
     A_B = jnp.einsum("bp,pr->rb", oh, dv, precision=_HI) * xw[None]
-    U = U.at[dc.feat].set(u_new, mode="drop", unique_indices=True)
-    return U, a0, A_B
+    return u_new, a0, A_B
 
 
 def _update_gram_lanes(G, a0, A_B, D):
@@ -485,7 +483,12 @@ def _update_gram_lanes(G, a0, A_B, D):
 def _joint_u_block_pass_dense(b: BlockPlan, e, q, U, alpha, lam_gu,
                               mu_gu, noise, group_index, axis=None,
                               unroll=4):
-    """All colors of one block via the dense lanes-major machinery."""
+    """All colors of one block via the dense lanes-major machinery.
+
+    Weight rows, priors and noise are pre-gathered per color (features
+    partition across colors) so the scan body is gather/scatter-free;
+    drawn rows come back through the scan's stacked ys and are written
+    to U with one scatter per stack."""
     B = b.block_size
     R = q.shape[1]
     D = R + 2
@@ -495,29 +498,42 @@ def _joint_u_block_pass_dense(b: BlockPlan, e, q, U, alpha, lam_gu,
     Atot = jnp.zeros((R, B), dtype)
     Ct = jnp.zeros((B,), dtype)
 
-    def apply(G, Atot, Ct, U, dc):
-        U, a0, A_B = _dense_color_step(
-            G, U, dc, alpha, lam_gu, mu_gu, noise, group_index, D
+    def pergather(feat):
+        gidx = group_index[feat]
+        return U[feat], lam_gu[gidx], mu_gu[gidx], noise[feat]
+
+    def step(G, Atot, Ct, xw, segb, u_old, lam, mu, xi):
+        u_new, a0, A_B = _dense_color_step(
+            G, xw, segb, u_old, lam, mu, xi, alpha, D
         )
         Ct = Ct + a0 + jnp.sum(A_B * Atot, axis=0)
         Atot = Atot + A_B
         G = _update_gram_lanes(G, a0, A_B, D)
-        return G, Atot, Ct, U
+        return G, Atot, Ct, u_new
 
     for dc in b.dense_colors:
-        G, Atot, Ct, U = apply(G, Atot, Ct, U, dc)
+        u_old, lam, mu, xi = pergather(dc.feat)
+        G, Atot, Ct, u_new = step(
+            G, Atot, Ct, dc.xw, dc.segb, u_old, lam, mu, xi
+        )
+        U = U.at[dc.feat].set(u_new, mode="drop", unique_indices=True)
 
     if b.dense_stack is not None:
         ds = b.dense_stack
+        u0, lam_s, mu_s, xi_s = pergather(ds.feat)  # [C, Pf, R+1] each
 
         def body(carry, xs):
-            G_, At_, Ct_, U_ = carry
-            dc = DenseColor(xw=xs[0], segb=xs[1], feat=xs[2])
-            return apply(G_, At_, Ct_, U_, dc), None
+            G_, At_, Ct_ = carry
+            G_, At_, Ct_, u_new = step(G_, At_, Ct_, *xs)
+            return (G_, At_, Ct_), u_new
 
-        (G, Atot, Ct, U), _ = lax.scan(
-            body, (G, Atot, Ct, U), (ds.xw, ds.segb, ds.feat),
+        (G, Atot, Ct), u_all = lax.scan(
+            body, (G, Atot, Ct),
+            (ds.xw, ds.segb, u0, lam_s, mu_s, xi_s),
             unroll=unroll,
+        )
+        U = U.at[ds.feat.reshape(-1)].set(
+            u_all.reshape(-1, R + 1), mode="drop", unique_indices=True
         )
 
     am = Atot.T[b.mapper]  # [N, R]
