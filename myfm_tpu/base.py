@@ -300,13 +300,28 @@ class MyFMBase(ABC):
             X = sps.csr_matrix((train_size, 0), dtype=REAL)
         else:
             X = sps.csr_matrix(X)
-        assert X.shape[0] == y.shape[0]
+        if X.shape[0] != y.shape[0]:
+            raise ValueError(
+                f"X has {X.shape[0]} rows but y has {y.shape[0]} "
+                "entries."
+            )
         dim_all = X.shape[1] + sum(rel.feature_size for rel in X_rel)
 
+        # n_iter / n_kept_samples sanity: the reference validates these
+        # in FMLearningConfig (FMLearningConfig.hpp:48-56)
+        if n_iter <= 0:
+            raise ValueError(f"n_iter must be positive; got {n_iter}.")
         if n_kept_samples is None:
             n_kept_samples = min(max(n_iter - 5, 5), n_iter)
-        else:
-            assert n_iter >= n_kept_samples
+        elif n_kept_samples <= 0:
+            raise ValueError(
+                f"n_kept_samples must be positive; got {n_kept_samples}."
+            )
+        elif n_iter < n_kept_samples:
+            raise ValueError(
+                f"n_kept_samples ({n_kept_samples}) cannot exceed "
+                f"n_iter ({n_iter})."
+            )
 
         for key in [
             "alpha_0", "beta_0", "gamma_0", "mu_0", "reg_0",
@@ -323,7 +338,11 @@ class MyFMBase(ABC):
             self.n_groups_ = 1
             config_builder.set_identical_groups(dim_all)
         else:
-            assert dim_all == len(grouping)
+            if dim_all != len(grouping):
+                raise ValueError(
+                    f"grouping has {len(grouping)} entries but the "
+                    f"design has {dim_all} features."
+                )
             self.n_groups_ = len(set(grouping))
             config_builder.set_group_index(grouping)
 
@@ -333,7 +352,11 @@ class MyFMBase(ABC):
                     "Must specify both (X_test or X_rel_test) and y_test."
                 )
             test_size = check_data_consistency(X_test, X_rel_test)
-            assert test_size == y_test.shape[0]
+            if test_size != y_test.shape[0]:
+                raise ValueError(
+                    f"test design has {test_size} rows but y_test has "
+                    f"{y_test.shape[0]} entries."
+                )
             if X_test is None:
                 X_test = sps.csr_matrix((test_size, 0), dtype=REAL)
             else:

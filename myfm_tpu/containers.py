@@ -143,7 +143,14 @@ class LearningHistory:
     """Per-iteration trace (reference LearningHistory.hpp:6-11)."""
 
     hypers: List[FMHyperParameters] = dataclasses.field(default_factory=list)
+    # final cumulative MH accept count per cutpoint-group sampler
+    # (reference FMTrainer.hpp:83-85 — one entry per sampler)
     n_mh_accept: List[int] = dataclasses.field(default_factory=list)
+    # cumulative accept count recorded every iteration (richer than the
+    # reference's single final count; np.diff gives per-sweep accepts)
+    n_mh_accept_trace: List[int] = dataclasses.field(
+        default_factory=list
+    )
     train_log_losses: List[float] = dataclasses.field(default_factory=list)
 
 

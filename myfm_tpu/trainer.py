@@ -193,6 +193,10 @@ class GibbsTrainer:
             if it + n_kept_samples >= n_iter:
                 predictor.samples.append(view.materialize())
             history.hypers.append(_fetch_hyper(state))
+            if self.cfg.task == TASK_ORDERED:
+                history.n_mh_accept_trace.append(
+                    int(state.n_mh_accept)
+                )
 
             if callback is not None:
                 should_stop = callback(it, view, history.hypers[-1], history)
@@ -301,6 +305,10 @@ class CategoricalGibbsTrainer:
             if it + n_kept_samples >= n_iter:
                 predictor.samples.append(view.materialize())
             history.hypers.append(_fetch_hyper(state.core))
+            if self.cfg.task == TASK_ORDERED:
+                history.n_mh_accept_trace.append(
+                    int(state.core.n_mh_accept)
+                )
 
             if callback is not None:
                 should_stop = callback(

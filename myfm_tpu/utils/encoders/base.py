@@ -1,66 +1,86 @@
-"""Encoder base + DataFrameEncoder composition.
+"""Encoder protocol + DataFrame composition.
 
-Behavioral parity with reference utils/encoders/base.py:9-83: ordered
-column→encoder mapping, hstacked CSR output, ``encoder_shapes`` as the
-bridge to ``group_shapes``, prefixed feature names.
+Behavioral parity with the reference's encoder layer (reference
+utils/encoders/base.py:9-83): an encoder turns one column of values
+into a CSR block; a DataFrameEncoder owns an ordered set of
+(column, encoder) pairs, hstacks their blocks, and reports per-column
+widths (``encoder_shapes``) as the bridge to ``group_shapes``.
 """
 
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from collections import OrderedDict
-from typing import Any, Dict, List
+from typing import Any, Dict, List, Tuple
 
 import pandas as pd
 import scipy.sparse as sps
 
 
 class SparseEncoderBase(ABC):
-    r"""Base class for encoders into sparse matrices."""
+    """One column's value→sparse-block transform.
+
+    Subclasses implement the three-method contract below; ``len`` is
+    the encoded width (number of columns the block contributes).
+    """
 
     @abstractmethod
     def to_sparse(self, x: List[Any]) -> sps.csr_matrix:
-        raise NotImplementedError  # pragma: no cover
+        """Encode a sequence of raw values into a CSR block."""
 
     @abstractmethod
     def __len__(self) -> int:
-        raise NotImplementedError  # pragma: no cover
+        """Encoded width of this block."""
 
     @abstractmethod
     def names(self) -> List[str]:
-        r"""Description of each non-zero entry."""
-        raise NotImplementedError  # pragma: no cover
+        """Human-readable label per encoded column."""
 
 
 class DataFrameEncoder:
-    """Encode a pandas DataFrame into hstacked sparse matrices."""
+    """Compose per-column encoders into one wide CSR design matrix.
+
+    Columns are encoded and horizontally stacked in registration
+    order.  ``encoder_shapes`` (the per-column widths, in the same
+    order) is what ``fit(..., group_shapes=...)`` expects, giving each
+    source column its own hyperprior group.
+    """
 
     def __init__(self) -> None:
-        self.col_encoders: Dict[str, SparseEncoderBase] = OrderedDict()
+        self._columns: List[Tuple[str, SparseEncoderBase]] = []
 
-    def all_names(self) -> List[str]:
-        return [
-            f"{col_name}__{description}"
-            for col_name, encoder in self.col_encoders.items()
-            for description in encoder.names()
-        ]
+    @property
+    def col_encoders(self) -> Dict[str, SparseEncoderBase]:
+        """Registered encoders keyed by column name (insertion order)."""
+        return dict(self._columns)
 
     @property
     def encoder_shapes(self) -> List[int]:
-        r"""Per-column encoded widths — feed these to ``group_shapes``."""
-        return [len(enc) for enc in self.col_encoders.values()]
+        """Per-column encoded widths — feed these to ``group_shapes``."""
+        return [len(encoder) for _, encoder in self._columns]
 
     def add_column(
         self, colname: str, encoder: SparseEncoderBase
     ) -> "DataFrameEncoder":
-        r"""Register a (column name, encoder) pair; returns self."""
-        self.col_encoders[colname] = encoder
+        """Register a column encoder (fluent; returns self)."""
+        self._columns.append((colname, encoder))
         return self
 
+    def all_names(self) -> List[str]:
+        """``column__label`` name per encoded feature, in order."""
+        out: List[str] = []
+        for colname, encoder in self._columns:
+            out.extend(f"{colname}__{label}" for label in encoder.names())
+        return out
+
     def encode_df(self, df: pd.DataFrame) -> sps.csr_matrix:
-        r"""Encode the dataframe into one concatenated CSR matrix."""
-        matrices = [
+        """Encode ``df`` into one hstacked CSR matrix."""
+        if not self._columns:
+            raise ValueError(
+                "DataFrameEncoder has no registered columns; call "
+                "add_column first."
+            )
+        blocks = [
             encoder.to_sparse(df[colname])
-            for colname, encoder in self.col_encoders.items()
+            for colname, encoder in self._columns
         ]
-        return sps.hstack(matrices, format="csr")
+        return sps.hstack(blocks, format="csr")

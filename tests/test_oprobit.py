@@ -64,3 +64,42 @@ def test_oprobit_predict_proba_consistency():
     acc = (fm.predict(X) == y).mean()
     baseline = np.bincount(y).max() / y.shape[0]
     assert acc > baseline
+
+
+def test_oprobit_categorical_fast_path():
+    """Ordered probit on the entity-space fast path (the
+    categorical_sweep TASK_ORDERED branch) end-to-end through the
+    estimator, plus the per-iteration MH accept trace."""
+    import scipy.sparse as sps
+
+    from myfm_tpu import RelationBlock
+
+    rng = np.random.RandomState(11)
+    n, nu, ni = 600, 25, 15
+    u, i = rng.randint(0, nu, n), rng.randint(0, ni, n)
+    score = rng.normal(size=nu)[u] + rng.normal(size=ni)[i]
+    y = np.digitize(score, [-1.0, 0.0, 1.0]).astype(np.int64)
+    blocks = [
+        RelationBlock(u, sps.identity(nu, format="csr")),
+        RelationBlock(i, sps.identity(ni, format="csr")),
+    ]
+
+    # sweep_strategy='categorical' raises unless the fast path is taken
+    fm = MyFMOrderedProbit(
+        rank=2, random_seed=4, sweep_strategy="categorical"
+    )
+    fm.fit(None, y, X_rel=blocks, n_iter=25, n_kept_samples=15)
+
+    proba = fm.predict_proba(None, X_rel=blocks)
+    assert proba.shape == (n, 4)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, rtol=1e-5)
+    cut = fm.cutpoint_samples
+    assert cut.shape[1] == 3 and np.all(np.diff(cut, axis=1) > 0)
+
+    trace = fm.history_.n_mh_accept_trace
+    assert len(trace) == 25
+    assert all(b - a in (0, 1) for a, b in zip(trace, trace[1:]))
+    assert fm.history_.n_mh_accept[0] == trace[-1]
+
+    acc = (fm.predict(None, X_rel=blocks) == y).mean()
+    assert acc > np.bincount(y).max() / y.shape[0]
