@@ -1,0 +1,527 @@
+"""Entity-space CAVI for all-categorical designs (the VI fast path).
+
+Same architecture as the Gibbs fast path (ops/categorical.py): for
+one-hot tables every per-row cache is a pure function of the small
+per-entity tables, so each table pass reconstructs its state in tile
+space from cross-table gathers and needs ONE fused Gram per table —
+extended with the variational second-moment columns:
+
+    z = [1 | e | φ_1..R | σ_1..R | τ_1..R],   D = 3R + 2,
+
+where (per row, excluding the own table; x = 1 everywhere)
+    φ_r = Σ_other V̄_r        (factor mean sum      — Gibbs' q_other)
+    σ_r = Σ_other s_r        (factor variance sum  — x2s minus own)
+    τ_r = Σ_other s_r V̄_r    (x3sv minus own).
+
+The per-entity CAVI conditionals (reference variational.hpp:450-554,
+specialised to x = 1 which collapses every x²/x³ power) read entirely
+off the Gram G_u = Σ z zᵀ:
+
+    w:    quad = α·card + λ_w,     lin = α(card·w̄ − E1) + λ_w μ_w
+    V_r:  quad = α(Σφ_r² + Σσ_r) + λ
+          lin  = α(−Σeφ_r + (Σφ_r²)v̄ − (Σφ_rσ_r − Στ_r)) + λμ
+    with card = G[0,0], E1 = G[0,1], Σφ_r = G[0,2+r],
+    Σeφ_r = G[1,2+r], Σφ_r² = G[2+r,2+r], Σσ_r = G[0,2+R+r],
+    Σφ_rσ_r = G[2+r,2+R+r], Στ_r = G[0,2+2R+r];
+    updates are posterior-mean assignments with s = 1/quad variance
+    bookkeeping.  The only cross-coordinate coupling inside a table
+    pass is through e: after the w step Σeφ_s += Δw·Σφ_s, after factor
+    r Σeφ_s += Δ_r·G[2+r,2+s] (σ/τ columns are factor-local and never
+    change during the own table's pass).
+
+Update order: α → w0 → λ_w/μ_w → λ_V/μ_V → per table {w_t, V_t factor
+scan} → (e, Var, ELBO) refresh.  Relative to the reference's
+all-w-then-all-V order this interleaves each table's w with its factor
+scan (same deviation the Gibbs fast path documents); every update is
+still the exact coordinate-wise CAVI maximiser given the current state
+of all others, so the ELBO increases monotonically and the algorithm
+converges to a mean-field stationary point exactly as the reference
+does.
+
+The (e, e_var_sum, ELBO) refresh is ONE streaming chunked row pass
+(score_rows-style) over gathers of per-entity [w | w_var | V | s | sV]
+tables — the 3rd/4th-moment caches collapse for x = 1:
+x4s2 = Σs², x4sv2 = Σ s·V̄² (computed in-chunk from the gathers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..design_categorical import CategoricalPlan, CategoricalTable
+from .categorical import _pad_zero_row, _table_slice
+from .gibbs import TASK_CLASSIFICATION, TASK_REGRESSION
+from .pallas_gram import fused_tile_gram
+from .special import (
+    mean_var_truncated_normal_left,
+    mean_var_truncated_normal_right,
+)
+from .variational import (
+    VariationalConfig,
+    VIState,
+    _safe_log,
+    vi_update_lambda,
+    vi_update_mu,
+)
+
+
+@dataclasses.dataclass
+class CategoricalVIState:
+    """VIState plus the latent mean target tau (classification: the
+    analytic truncated-normal mean; regression: None, y used
+    directly)."""
+
+    core: VIState
+    tau: Optional[jax.Array]
+
+
+jax.tree_util.register_dataclass(
+    CategoricalVIState, data_fields=["core", "tau"], meta_fields=[]
+)
+
+
+def _ext_rows(w, w_var, V, V_var, t2: CategoricalTable, idx):
+    """Gather [w | w_var | V | s | sV] rows ([*, 2+3R]) by entity
+    (pad→0)."""
+    w_t = _table_slice(w, t2)
+    wv_t = _table_slice(w_var, t2)
+    V_t = _table_slice(V, t2)
+    s_t = _table_slice(V_var, t2)
+    ext = jnp.concatenate(
+        [w_t[:, None], wv_t[:, None], V_t, s_t, s_t * V_t], axis=1
+    )
+    return _pad_zero_row(ext)[idx]
+
+
+def _vi_table_pass(
+    plan: CategoricalPlan,
+    ti: int,
+    w, w_var, V, V_var,  # [F], [F], [F, R], [F, R]
+    w0,
+    alpha,
+    lambda_w, mu_w, lambda_V, mu_V,  # per-group
+    group_index,
+    tau_tile,  # [NT] mean target in this table's tile order (pad 0)
+    cfg: VariationalConfig,
+    interpret: bool,
+):
+    """One table's CAVI w update + factor scan in entity space."""
+    t = plan.tables[ti]
+    rank = V.shape[1]
+    D = 3 * rank + 2
+    K = t.n_tiles
+    T = t.tile_rows
+    dtype = V.dtype
+
+    w_t = _table_slice(w, t)
+    V_t = _table_slice(V, t)
+    s_t = _table_slice(V_var, t)
+    g_t = group_index[t.col_offset : t.col_offset + t.n_cols]
+
+    S = t.tile_entities
+    Kc = t.chunk_tiles
+    n_chunks = -(-K // Kc)
+    Kp = n_chunks * Kc
+    max_fin = t.max_fin
+    B = t.n_cols
+
+    # own [w | V] rows per (tile, slot) for in-kernel reconstruction
+    wv_own = _pad_zero_row(jnp.concatenate([w_t[:, None], V_t], axis=1))
+    wvsl = wv_own[t.ent_slots]  # [K, S, 1+R]
+
+    def pad_k(arr, fill, tile_shape):
+        flat = arr.reshape((K,) + tile_shape)
+        if Kp != K:
+            pad = jnp.full(((Kp - K),) + tile_shape, fill, flat.dtype)
+            flat = jnp.concatenate([flat, pad])
+        return flat.reshape((n_chunks, Kc) + tile_shape)
+
+    xs = dict(
+        src=pad_k(t.src, plan.n_rows, (T,)),
+        slot=pad_k(t.slot, 0, (T,)),
+        cont_in=pad_k(t.cont_in, 0, ()),
+        cont_out=pad_k(t.cont_out, 0, ()),
+        last_slot=pad_k(t.last_slot, 0, ()),
+        wvsl=pad_k(wvsl, 0.0, (S, rank + 1)),
+        cross=[
+            pad_k(m, t2.n_cols, (T,))
+            for t2i, (m, t2) in enumerate(
+                zip(plan.cross_ent[ti], plan.tables)
+            )
+            if t2i != ti
+        ],
+        tau=pad_k(tau_tile, 0.0, (T,)),
+        fin_win=t.fin_win,
+        fin_idx=t.fin_idx,
+        fin_mask=t.fin_mask,
+    )
+    others = [t2 for t2i, t2 in enumerate(plan.tables) if t2i != ti]
+
+    def chunk_body(carry, xc):
+        gram_carry, G = carry
+        src_c = xc["src"].reshape(Kc * T)
+        ones_c = (src_c < plan.n_rows).astype(dtype)
+        lin_o = jnp.zeros((Kc * T,), dtype)
+        Q_o = jnp.zeros((Kc * T, rank), dtype)
+        qs_o = jnp.zeros((Kc * T,), dtype)
+        sig_o = jnp.zeros((Kc * T, rank), dtype)
+        sv_o = jnp.zeros((Kc * T, rank), dtype)
+        for t2, mc in zip(others, xc["cross"]):
+            gth = _ext_rows(w, w_var, V, V_var, t2, mc.reshape(Kc * T))
+            lin_o = lin_o + gth[:, 0]
+            Vg = gth[:, 2 : 2 + rank]
+            Q_o = Q_o + Vg
+            qs_o = qs_o + jnp.sum(Vg * Vg, axis=1)
+            sig_o = sig_o + gth[:, 2 + rank : 2 + 2 * rank]
+            sv_o = sv_o + gth[:, 2 + 2 * rank :]
+        lin_tau = ones_c * w0 + lin_o - xc["tau"].reshape(Kc * T)
+        meta = jnp.stack([ones_c, lin_tau, qs_o], axis=1).reshape(
+            Kc, T, 3
+        )
+        q_ext = jnp.concatenate([Q_o, sig_o, sv_o], axis=1).reshape(
+            Kc, T, 3 * rank
+        )
+        flat_c, gram_carry = fused_tile_gram(
+            meta, q_ext, xc["slot"], xc["wvsl"],
+            xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
+            carry_in=gram_carry, interpret=interpret,
+        )
+        vals = flat_c[xc["fin_idx"]][:, :D, :]
+        win = xc["fin_win"]
+        zero = jnp.zeros((), win.dtype)
+        old = lax.dynamic_slice(
+            G, (win, zero, zero), (max_fin, D, D)
+        )
+        msk = (xc["fin_mask"] > 0)[:, None, None]
+        G = lax.dynamic_update_slice(
+            G, jnp.where(msk, vals, old), (win, zero, zero)
+        )
+        return (gram_carry, G), None
+
+    carry0 = (
+        jnp.zeros((D, D), dtype),
+        jnp.zeros((B, D, D), dtype),
+    )
+    if n_chunks == 1:
+        xc = jax.tree_util.tree_map(lambda a: a[0], xs)
+        (_, G), _ = chunk_body(carry0, xc)
+    else:
+        (_, G), _ = lax.scan(chunk_body, carry0, xs)
+
+    card = G[:, 0, 0]
+    E1 = G[:, 0, 1]
+    Sphi = G[:, 0, 2 : 2 + rank]  # [B, R]
+    EQphi = G[:, 1, 2 : 2 + rank]
+    Ssig = G[:, 0, 2 + rank : 2 + 2 * rank]
+    Stau = G[:, 0, 2 + 2 * rank : 2 + 3 * rank]
+
+    lam_w = lambda_w[g_t]
+    mu_wg = mu_w[g_t]
+
+    if cfg.fit_linear:
+        quad = alpha * card + lam_w
+        lin = alpha * (card * w_t - E1) + lam_w * mu_wg
+        w_new = lin / quad
+        wv_new = 1.0 / quad
+        dw = w_new - w_t
+        EQphi = EQphi + dw[:, None] * Sphi
+    else:
+        w_new, wv_new = w_t, _table_slice(w_var, t)
+
+    if rank:
+        C = min(8, rank)
+        lam_V = lambda_V[g_t]
+        mu_Vg = mu_V[g_t]
+
+        v_new_cols = []
+        s_new_cols = []
+        EQ_corr = jnp.zeros_like(EQphi)
+        for c0 in range(0, rank, C):
+            c1 = min(c0 + C, rank)
+            Gc = G[:, 2 + c0 : 2 + c1, 2 : 2 + rank]  # [B, c, R]
+            # diag of the φσ cross block for this factor chunk
+            Gps = G[:, 2 + c0 : 2 + c1, 2 + rank : 2 + 2 * rank]
+            EQ_chunk = (EQphi + EQ_corr)[:, c0:c1]
+            deltas = []
+            for j in range(c1 - c0):
+                r = c0 + j
+                Sphi2_r = Gc[:, j, r]
+                Sphisig_r = Gps[:, j, r]
+                v_old = V_t[:, r]
+                quad = alpha * (Sphi2_r + Ssig[:, r]) + lam_V[:, r]
+                lin = (
+                    alpha
+                    * (
+                        -EQ_chunk[:, j]
+                        + Sphi2_r * v_old
+                        - (Sphisig_r - Stau[:, r])
+                    )
+                    + lam_V[:, r] * mu_Vg[:, r]
+                )
+                v_new = lin / quad
+                delta = v_new - v_old
+                if j + 1 < c1 - c0:
+                    EQ_chunk = EQ_chunk.at[:, j + 1 :].add(
+                        delta[:, None] * Gc[:, j, r + 1 : c1]
+                    )
+                v_new_cols.append(v_new)
+                s_new_cols.append(1.0 / quad)
+                deltas.append(delta)
+            if c1 < rank:
+                delta_c = jnp.stack(deltas, axis=1)
+                EQ_corr = EQ_corr.at[:, c1:].add(
+                    jnp.einsum(
+                        "bc,bcr->br", delta_c, Gc[:, :, c1:],
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                )
+        V_new = jnp.stack(v_new_cols, axis=1)
+        s_new = jnp.stack(s_new_cols, axis=1)
+    else:
+        V_new, s_new = V_t, s_t
+
+    w = lax.dynamic_update_slice(w, w_new, (t.col_offset,))
+    w_var = lax.dynamic_update_slice(w_var, wv_new, (t.col_offset,))
+    V = lax.dynamic_update_slice(V, V_new, (t.col_offset, 0))
+    V_var = lax.dynamic_update_slice(V_var, s_new, (t.col_offset, 0))
+    return w, w_var, V, V_var
+
+
+def vi_refresh_rows(
+    plan: CategoricalPlan,
+    w0, w0_var, w, w_var, V, V_var,
+    row_chunk: int = 1 << 20,
+):
+    """(score [N], per-row Var(score) summed → scalar) in one chunked
+    streaming pass (reference update_e_and_var, variational.hpp:715-833
+    with every x-power collapsed by x = 1)."""
+    N = plan.n_rows
+    rank = V.shape[1]
+    nb = -(-N // row_chunk)
+    Np = nb * row_chunk
+    t0 = plan.tables[0]
+    dtype = V.dtype
+
+    def pad_map(m, fill):
+        if Np != N:
+            m = jnp.concatenate([m, jnp.full((Np - N,), fill, m.dtype)])
+        return m.reshape(nb, row_chunk)
+
+    maps = [pad_map(t.ent_main, t.n_cols) for t in plan.tables]
+
+    def block(ms):
+        n = ms[0].shape[0]
+        ones = (ms[0] < t0.n_cols).astype(dtype)
+        lin = jnp.zeros((n,), dtype)
+        wvar_s = jnp.zeros((n,), dtype)
+        Q = jnp.zeros((n, rank), dtype)
+        QS = jnp.zeros((n,), dtype)
+        X2S = jnp.zeros((n, rank), dtype)
+        X3SV = jnp.zeros((n, rank), dtype)
+        X4S2 = jnp.zeros((n,), dtype)
+        X4SV2 = jnp.zeros((n,), dtype)
+        for t2, idx in zip(plan.tables, ms):
+            gth = _ext_rows(w, w_var, V, V_var, t2, idx)
+            lin = lin + gth[:, 0]
+            wvar_s = wvar_s + gth[:, 1]
+            Vg = gth[:, 2 : 2 + rank]
+            sg = gth[:, 2 + rank : 2 + 2 * rank]
+            svg = gth[:, 2 + 2 * rank :]
+            Q = Q + Vg
+            QS = QS + jnp.sum(Vg * Vg, axis=1)
+            X2S = X2S + sg
+            X3SV = X3SV + svg
+            X4S2 = X4S2 + jnp.sum(sg * sg, axis=1)
+            X4SV2 = X4SV2 + jnp.sum(svg * Vg, axis=1)
+        score = ones * w0 + lin
+        if rank:
+            score = score + 0.5 * (jnp.sum(Q * Q, axis=1) - QS)
+        var_row = ones * w0_var + wvar_s
+        if rank:
+            var_row = var_row + jnp.sum(
+                Q * Q * X2S - 2.0 * X3SV * Q, axis=1
+            ) + 0.5 * jnp.sum(X2S * X2S, axis=1) \
+                - 0.5 * X4S2 + X4SV2
+        return score, jnp.sum(var_row * ones)
+
+    if nb == 1:
+        score, evs = block(tuple(m[0] for m in maps))
+        score = score[:N]
+    else:
+        score, evs_blocks = lax.map(block, tuple(maps))
+        score = score.reshape(Np)[:N]
+        evs = jnp.sum(evs_blocks)
+    return score, evs
+
+
+def _group_elbo_terms(plan, state: VIState, cfg, elbo):
+    """Hyper-group ELBO contributions (variational.hpp:861-913),
+    shared with the colored path's vi_finish_e."""
+    g = plan.group_index
+    G = plan.n_groups
+    counts = plan.group_counts
+
+    elbo = elbo + state.alpha * state.alpha_rate * (
+        1.0 - _safe_log(state.alpha_rate)
+    )
+    elbo = elbo - cfg.gamma_0 * (
+        state.w0 * state.w0 + state.w0_var
+    ) + 0.5 * _safe_log(state.w0_var)
+
+    dev2_w = (state.w - state.mu_w[g]) ** 2
+    rate_w = (
+        cfg.beta_0
+        + jax.ops.segment_sum(dev2_w + state.w_var, g, num_segments=G)
+        + state.mu_w_var * counts
+    )
+    elbo = elbo + jnp.sum(0.5 * _safe_log(state.mu_w_var))
+    elbo = elbo + jnp.sum(0.5 * _safe_log(state.w_var))
+    elbo = elbo + jnp.sum(
+        state.lambda_w * (-rate_w / 2.0 + state.lambda_w_rate)
+    )
+    elbo = elbo - jnp.sum(
+        state.lambda_w * state.lambda_w_rate
+        * _safe_log(state.lambda_w_rate)
+    )
+    elbo = elbo - jnp.sum(0.5 * (state.mu_w - cfg.mu_0) ** 2)
+
+    if state.V.shape[1] > 0:
+        dev2_V = (state.V - state.mu_V[g, :]) ** 2
+        rate_V = (
+            cfg.beta_0
+            + jax.ops.segment_sum(
+                dev2_V + state.V_var, g, num_segments=G
+            )
+            + state.mu_V_var * counts[:, None]
+        )
+        elbo = elbo + jnp.sum(0.5 * _safe_log(state.mu_V_var))
+        elbo = elbo + jnp.sum(0.5 * _safe_log(state.V_var))
+        elbo = elbo + jnp.sum(
+            state.lambda_V * (-rate_V / 2.0 + state.lambda_V_rate)
+        )
+        elbo = elbo - jnp.sum(
+            state.lambda_V * state.lambda_V_rate
+            * _safe_log(state.lambda_V_rate)
+        )
+    return elbo
+
+
+def categorical_vi_sweep(
+    plan: CategoricalPlan,
+    state: CategoricalVIState,
+    y: jax.Array,
+    y_tiles: Tuple[jax.Array, ...],
+    cfg: VariationalConfig,
+    interpret: bool = False,
+) -> CategoricalVIState:
+    """One full CAVI iteration on the entity-space fast path."""
+    core = state.core
+    dtype = core.V.dtype
+    n = plan.n_real
+    rank = core.V.shape[1]
+
+    # α
+    if cfg.task == TASK_CLASSIFICATION:
+        alpha = jnp.asarray(1.0, dtype)
+        alpha_rate = jnp.asarray(1.0, dtype)
+    else:
+        e_all = jnp.sum(core.e * core.e) + core.e_var_sum
+        alpha_rate = (cfg.beta_0 + e_all) / 2.0
+        alpha = jnp.asarray((cfg.alpha_0 + n) / 2.0, dtype) / alpha_rate
+
+    # w0 (e is refreshed at sweep end; only the stats are needed here)
+    w0, w0_var = core.w0, core.w0_var
+    if cfg.fit_w0:
+        quad = alpha * n + cfg.reg_0
+        lin = alpha * (n * w0 - jnp.sum(core.e))
+        w0 = lin / quad
+        w0_var = 1.0 / quad
+
+    lambda_w, lambda_w_rate = vi_update_lambda(
+        core.w, core.w_var, core.mu_w, core.mu_w_var,
+        plan.group_index, plan.group_counts, cfg,
+    )
+    mu_w, mu_w_var = vi_update_mu(
+        core.w, lambda_w, plan.group_index, plan.group_counts, cfg
+    )
+    lambda_V, lambda_V_rate = vi_update_lambda(
+        core.V, core.V_var, core.mu_V, core.mu_V_var,
+        plan.group_index, plan.group_counts, cfg,
+    )
+    mu_V, mu_V_var = vi_update_mu(
+        core.V, lambda_V, plan.group_index, plan.group_counts, cfg
+    )
+
+    w, w_var, V, V_var = core.w, core.w_var, core.V, core.V_var
+    for ti, t in enumerate(plan.tables):
+        if cfg.task == TASK_REGRESSION:
+            tau_tile = y_tiles[ti]
+        else:
+            tau_tile = _pad_zero_row(state.tau[:, None])[t.src][:, 0]
+        w, w_var, V, V_var = _vi_table_pass(
+            plan, ti, w, w_var, V, V_var, w0, alpha,
+            lambda_w, mu_w, lambda_V, mu_V,
+            plan.group_index, tau_tile, cfg, interpret,
+        )
+
+    # refresh (e, e_var_sum) + task finish + ELBO
+    score, e_var_sum = vi_refresh_rows(
+        plan, w0, w0_var, w, w_var, V, V_var
+    )
+    tau = state.tau
+    elbo = jnp.asarray(0.0, dtype)
+    if cfg.task == TASK_REGRESSION:
+        e = score - y
+    elif cfg.task == TASK_CLASSIFICATION:
+        m_l, v_l, z_l = mean_var_truncated_normal_left(score)
+        m_r, v_r, z_r = mean_var_truncated_normal_right(score)
+        mean = jnp.where(y > 0, m_l, m_r)
+        logz = jnp.where(y > 0, z_l, z_r)
+        e = score - mean
+        tau = mean
+        elbo = elbo + jnp.sum(logz + 0.5 * (mean - score) ** 2)
+    else:
+        raise NotImplementedError(
+            "Ordered probit for variational FM is not implemented "
+            "(parity with the reference, variational.hpp:857-859)."
+        )
+
+    new_core = VIState(
+        w0=w0, w0_var=w0_var, w=w, w_var=w_var, V=V, V_var=V_var,
+        e=e, e_var_sum=e_var_sum, alpha=alpha, alpha_rate=alpha_rate,
+        mu_w=mu_w, mu_w_var=mu_w_var,
+        lambda_w=lambda_w, lambda_w_rate=lambda_w_rate,
+        mu_V=mu_V, mu_V_var=mu_V_var,
+        lambda_V=lambda_V, lambda_V_rate=lambda_V_rate,
+        elbo=jnp.asarray(0.0, dtype),
+    )
+    elbo = elbo - alpha * (
+        cfg.beta_0 + jnp.sum(e * e) + e_var_sum
+    ) / 2.0
+    elbo = _group_elbo_terms(plan, new_core, cfg, elbo)
+    new_core = dataclasses.replace(new_core, elbo=elbo)
+    return CategoricalVIState(core=new_core, tau=tau)
+
+
+def init_categorical_vi_state(
+    plan: CategoricalPlan, core: VIState, y, cfg: VariationalConfig
+) -> CategoricalVIState:
+    """Reference initialize (variational.hpp:234-241): full
+    mean/variance forward, e = score − y for all tasks."""
+    score, e_var_sum = vi_refresh_rows(
+        plan, core.w0, core.w0_var, core.w, core.w_var, core.V,
+        core.V_var,
+    )
+    e = score - y
+    tau = None
+    if cfg.task == TASK_CLASSIFICATION:
+        # first sweep's table passes need a target; start from y
+        # (±1 coding) exactly like the reference's initial residual
+        tau = jnp.asarray(y, dtype=score.dtype)
+    core = dataclasses.replace(core, e=e, e_var_sum=e_var_sum)
+    return CategoricalVIState(core=core, tau=tau)

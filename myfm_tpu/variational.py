@@ -84,16 +84,8 @@ class MyFMVariationalBase(MyFMBase):
     ):
         from .design import compile_design
         from .ops.variational import VariationalConfig
-        from .vi_trainer import VariationalTrainer
+        from .vi_trainer import CategoricalVITrainer, VariationalTrainer
 
-        plan = compile_design(
-            X,
-            X_rel,
-            grouping=np.asarray(config.group_index, dtype=np.int32),
-            dtype=self.dtype,
-            strategy=self.sweep_strategy,
-            max_unrolled_colors=self.max_unrolled_colors,
-        )
         cfg = VariationalConfig(
             task=config.task_type,
             alpha_0=config.alpha_0,
@@ -103,6 +95,43 @@ class MyFMVariationalBase(MyFMBase):
             reg_0=config.reg_0,
             fit_w0=config.fit_w0,
             fit_linear=config.fit_linear,
+        )
+
+        cat_plan = None
+        if self.sweep_strategy in ("auto", "categorical"):
+            from .design_categorical import try_compile_categorical
+
+            # the VI Gram carries 3R+2 z-columns — tile for that width
+            cat_plan = try_compile_categorical(
+                X,
+                X_rel,
+                grouping=np.asarray(config.group_index, dtype=np.int32),
+                n_groups=None,
+                dtype=self.dtype,
+                rank=max(3 * rank, 1),
+            )
+        if cat_plan is not None:
+            trainer = CategoricalVITrainer(
+                cat_plan, y, cfg, rank, init_stdev, random_seed,
+                self.dtype,
+            )
+            return trainer.run(config.n_iter, callback)
+        if self.sweep_strategy == "categorical":
+            raise ValueError(
+                "sweep_strategy='categorical' requires every table "
+                "(main and blocks) to be one-hot per row."
+            )
+
+        plan = compile_design(
+            X,
+            X_rel,
+            grouping=np.asarray(config.group_index, dtype=np.int32),
+            dtype=self.dtype,
+            strategy=(
+                "auto" if self.sweep_strategy == "categorical"
+                else self.sweep_strategy
+            ),
+            max_unrolled_colors=self.max_unrolled_colors,
         )
         trainer = VariationalTrainer(
             plan, y, cfg, rank, init_stdev, random_seed, self.dtype

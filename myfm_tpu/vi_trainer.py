@@ -61,6 +61,80 @@ def _fetch_hyper(state: VIState) -> VariationalFMHyperParameters:
     )
 
 
+class CategoricalVITrainer:
+    """CAVI trainer on the entity-space fast path (all tables
+    categorical; ops/categorical_vi.py).  Same run() contract as
+    VariationalTrainer."""
+
+    def __init__(
+        self,
+        plan,  # CategoricalPlan (tiled for D = 3R+2)
+        y: np.ndarray,
+        cfg: VariationalConfig,
+        rank: int,
+        init_stdev: float,
+        random_seed: int,
+        dtype=np.float32,
+    ):
+        from .ops.categorical import make_y_tiles
+        from .ops.categorical_vi import (
+            categorical_vi_sweep,
+            init_categorical_vi_state,
+        )
+
+        self.plan = plan
+        self.cfg = cfg
+        self.rank = rank
+        self.init_stdev = init_stdev
+        self.random_seed = random_seed
+        self.dtype = np.dtype(dtype)
+        self.y = jax.numpy.asarray(np.asarray(y).astype(self.dtype))
+        self.y_tiles = make_y_tiles(plan, self.y)
+        self._interpret = jax.default_backend() != "tpu"
+        self._init_fn = jax.jit(
+            init_categorical_vi_state, static_argnums=(3,)
+        )
+        self._sweep = jax.jit(
+            categorical_vi_sweep, static_argnums=(4, 5),
+            donate_argnums=(1,),
+        )
+
+    def _initialize(self):
+        key = jax.random.PRNGKey(self.random_seed)
+        core = vi_init_state(
+            self.plan, self.rank, self.init_stdev,
+            jax.random.fold_in(key, 0), self.cfg, self.dtype,
+        )
+        return self._init_fn(self.plan, core, self.y, self.cfg)
+
+    def run(
+        self,
+        n_iter: int,
+        callback: Optional[Callable] = None,
+    ) -> Tuple[VariationalPredictor, VariationalLearningHistory]:
+        state = self._initialize()
+        history = VariationalLearningHistory(hypers=None, elbos=[])
+        for it in range(n_iter):
+            state = self._sweep(
+                self.plan, state, self.y, self.y_tiles, self.cfg,
+                self._interpret,
+            )
+            history.elbos.append(float(state.core.elbo))
+            if callback is not None:
+                should_stop = callback(
+                    it, _fetch_vfm(state.core),
+                    _fetch_hyper(state.core), history,
+                )
+                if should_stop:
+                    break
+        history.hypers = _fetch_hyper(state.core)
+        predictor = VariationalPredictor(
+            self.rank, self.plan.n_features, self.cfg.task, self.dtype
+        )
+        predictor.samples.append(_fetch_vfm(state.core))
+        return predictor, history
+
+
 class VariationalTrainer:
     def __init__(
         self,
