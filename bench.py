@@ -146,8 +146,141 @@ def main():
                     sweeps_per_sec / REFERENCE_PROJECTED_SWEEPS_PER_SEC, 1
                 ),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # ---- secondary engine benches (stderr + BENCH_DETAIL.json) ------
+    # regressions in the joint / VI / colored paths would otherwise be
+    # invisible to the driver (round-1 VERDICT item 6).  Failures here
+    # never clobber the headline line above.
+    detail = {
+        "fastpath_gibbs_10m_rank32_sweeps_per_sec": round(
+            sweeps_per_sec, 3
+        ),
+        # rough speed-of-light accounting: the sweep's HBM traffic is
+        # dominated by 3 table passes x 2 cross-gathers of [N, 1+R]
+        # rows (read) + kernel tile traffic of similar order; at f32:
+        "fastpath_sol_fraction": round(
+            (6 * n_rows * (rank + 1) * 4 / 8.19e11) * sweeps_per_sec, 3
+        ),
+    }
+    try:
+        detail["joint_100k_timesvdpp_rank10"] = _bench_joint_100k()
+    except Exception as exc:  # pragma: no cover
+        log(f"joint bench failed: {exc!r}")
+    try:
+        detail["vi_fastpath_10m_rank32"] = _bench_vi(n_rows, rank)
+    except Exception as exc:  # pragma: no cover
+        log(f"VI bench failed: {exc!r}")
+    try:
+        detail["colored_100k_timesvdpp_rank10"] = _bench_colored_100k()
+    except Exception as exc:  # pragma: no cover
+        log(f"colored bench failed: {exc!r}")
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=1)
+    log(f"detail: {json.dumps(detail)}")
+
+
+def _timesvdpp_100k():
+    sys.path.insert(0, "examples")
+    from ml_features import build_feature_blocks, load_movielens
+
+    df_train, df_test = load_movielens("100k", 0, synthetic=True)
+    X_date, _, blocks, _, grouping = build_feature_blocks(
+        df_train, df_test, "timesvdpp_flipped"
+    )
+    y = df_train.rating.values.astype(np.float64)
+    return X_date, blocks, y, grouping
+
+
+def _run_sweeps(trainer, plan, y_arg, cfg, n_timed, keys):
+    import jax
+
+    state = trainer._initialize(keys[0])
+    state = trainer._sweep(plan, state, y_arg, keys[1], cfg)
+    float(state.w0)
+    t0 = time.time()
+    for k in keys[2 : 2 + n_timed]:
+        state = trainer._sweep(plan, state, y_arg, k, cfg)
+    float(state.w0)
+    return n_timed / (time.time() - t0)
+
+
+def _bench_joint_100k(n_timed=20):
+    """Joint-row merged sweep on ML-100k timeSVD++-flipped rank 10 —
+    the reference's only measured headline (20-22 it/s on its CPU)."""
+    import jax
+
+    from myfm_tpu.design import compile_design
+    from myfm_tpu.ops.gibbs import GibbsConfig
+    from myfm_tpu.trainer import GibbsTrainer
+
+    X_date, blocks, y, grouping = _timesvdpp_100k()
+    plan = compile_design(
+        X_date, blocks, grouping=np.asarray(grouping),
+        dtype=np.float32, for_training=True, joint_dense=True,
+    )
+    cfg = GibbsConfig(task="regression", joint_rows=True)
+    tr = GibbsTrainer(plan, y, cfg, 10, 0.1, 42, np.float32)
+    master = jax.random.PRNGKey(42)
+    keys = [jax.random.fold_in(master, i) for i in range(n_timed + 2)]
+    it_s = _run_sweeps(tr, plan, tr.y, cfg, n_timed, keys)
+    log(f"joint ML-100k timesvdpp rank 10: {it_s:.2f} it/s "
+        f"(reference C++ on real data: 20-22 it/s)")
+    return round(it_s, 2)
+
+
+def _bench_colored_100k(n_timed=3):
+    """Chromatic fallback path on the same multi-hot design."""
+    import jax
+
+    from myfm_tpu.design import compile_design
+    from myfm_tpu.ops.gibbs import GibbsConfig
+    from myfm_tpu.trainer import GibbsTrainer
+
+    X_date, blocks, y, grouping = _timesvdpp_100k()
+    plan = compile_design(
+        X_date, blocks, grouping=np.asarray(grouping),
+        dtype=np.float32, for_training=True,
+    )
+    cfg = GibbsConfig(task="regression")
+    tr = GibbsTrainer(plan, y, cfg, 10, 0.1, 42, np.float32)
+    master = jax.random.PRNGKey(42)
+    keys = [jax.random.fold_in(master, i) for i in range(n_timed + 2)]
+    it_s = _run_sweeps(tr, plan, tr.y, cfg, n_timed, keys)
+    log(f"colored ML-100k timesvdpp rank 10: {it_s:.2f} it/s")
+    return round(it_s, 2)
+
+
+def _bench_vi(n_rows, rank, n_timed=5):
+    """Entity-space VI at the flagship scale."""
+    from myfm_tpu.design_categorical import try_compile_categorical
+    from myfm_tpu.ops.variational import VariationalConfig
+    from myfm_tpu.vi_trainer import CategoricalVITrainer
+
+    X, blocks, y, grouping = build_problem(n_rows, rank, seed=0)
+    plan = try_compile_categorical(
+        X, blocks, np.asarray(grouping, dtype=np.int32), None,
+        np.float32, rank=3 * rank,
+    )
+    cfg = VariationalConfig(task="regression")
+    tr = CategoricalVITrainer(plan, y, cfg, rank, 0.1, 42, np.float32)
+    state = tr._initialize()
+    state = tr._sweep(
+        tr.plan, state, tr.y, tr.y_tiles, tr.cfg, tr._interpret
+    )
+    float(state.core.elbo)
+    t0 = time.time()
+    for _ in range(n_timed):
+        state = tr._sweep(
+            tr.plan, state, tr.y, tr.y_tiles, tr.cfg, tr._interpret
+        )
+        float(state.core.elbo)
+    it_s = n_timed / (time.time() - t0)
+    log(f"VI fast path 10M rank {rank}: {1/it_s:.2f} s/sweep "
+        f"({it_s:.3f} sweeps/s; round-1 colored: 120 s/sweep)")
+    return round(it_s, 3)
 
 
 if __name__ == "__main__":

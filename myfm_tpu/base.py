@@ -147,6 +147,8 @@ class MyFMBase(ABC):
         dtype=np.float32,
         sweep_strategy: str = "auto",
         max_unrolled_colors: int = 16,
+        n_devices: Optional[int] = None,
+        mesh=None,
     ):
         """Set up the sampler configuration.
 
@@ -170,6 +172,13 @@ class MyFMBase(ABC):
         max_unrolled_colors:
             Colors beyond this many per table execute via lax.scan
             instead of being unrolled into the XLA program.
+        n_devices / mesh:
+            Multi-chip SPMD training: rows shard over a 1-D ``('data',)
+            jax.sharding.Mesh`` (built from the first ``n_devices``
+            local devices unless ``mesh`` is given); per-feature
+            statistics are psum-reduced so the sharded chain reproduces
+            the single-chip chain sample-for-sample.  Gibbs estimators
+            only (the reference has no distributed path at all).
         """
         if sweep_strategy not in ("auto", "serial", "categorical",
                                   "joint"):
@@ -190,6 +199,8 @@ class MyFMBase(ABC):
         self.dtype = np.dtype(dtype)
         self.sweep_strategy = sweep_strategy
         self.max_unrolled_colors = max_unrolled_colors
+        self.n_devices = n_devices
+        self.mesh = mesh
 
         self.predictor_ = None
         self.history_ = None

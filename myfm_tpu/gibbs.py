@@ -77,6 +77,11 @@ class MyFMGibbsBase(MyFMBase):
         config: ConfigBuilder,
         callback,
     ):
+        if self.mesh is not None or (self.n_devices or 1) > 1:
+            return self._train_core_sharded(
+                rank, init_stdev, X, X_rel, y, random_seed, config,
+                callback,
+            )
         cat_plan = None
         if self.sweep_strategy in ("auto", "categorical"):
             from .design_categorical import try_compile_categorical
@@ -136,6 +141,76 @@ class MyFMGibbsBase(MyFMBase):
                 plan, y, cfg, rank, init_stdev, random_seed, self.dtype
             )
         return trainer.run(config.n_iter, config.n_kept_samples, callback)
+
+    def _build_mesh(self):
+        import jax
+        from jax.sharding import Mesh
+
+        if self.mesh is not None:
+            return self.mesh
+        devices = jax.devices()
+        if len(devices) < self.n_devices:
+            raise ValueError(
+                f"n_devices={self.n_devices} requested but only "
+                f"{len(devices)} JAX devices are visible."
+            )
+        return Mesh(np.array(devices[: self.n_devices]), ("data",))
+
+    def _train_core_sharded(
+        self, rank, init_stdev, X, X_rel, y, random_seed, config,
+        callback,
+    ):
+        """Multi-chip SPMD training (fit(..., n_devices=N) / mesh=...):
+        rows shard over the ('data',) mesh; the sharded chain equals
+        the single-chip chain sample-for-sample (tests/test_sharded)."""
+        from .parallel.sharding import ShardedGibbsTrainer
+        from .parallel.sharding_categorical import (
+            ShardedCategoricalGibbsTrainer,
+        )
+
+        mesh = self._build_mesh()
+        n_class = 0
+        if config.cutpoint_groups:
+            n_class = config.cutpoint_groups[0][0]
+        cfg = GibbsConfig(
+            task=config.task_type,
+            alpha_0=config.alpha_0,
+            beta_0=config.beta_0,
+            gamma_0=config.gamma_0,
+            mu_0=config.mu_0,
+            reg_0=config.reg_0,
+            fit_w0=config.fit_w0,
+            fit_linear=config.fit_linear,
+            nu_oprobit=config.nu_oprobit,
+            cutpoint_scale=config.cutpoint_scale,
+            n_class=n_class,
+            joint_rows=self.sweep_strategy == "joint",
+        )
+        grouping = np.asarray(config.group_index, dtype=np.int32)
+        trainer = None
+        if self.sweep_strategy in ("auto", "categorical"):
+            try:
+                trainer = ShardedCategoricalGibbsTrainer(
+                    X, X_rel, y, cfg, rank, init_stdev, random_seed,
+                    mesh=mesh, grouping=grouping, dtype=self.dtype,
+                )
+            except ValueError:
+                if self.sweep_strategy == "categorical":
+                    raise
+        if trainer is None:
+            trainer = ShardedGibbsTrainer(
+                X, X_rel, y, cfg, rank, init_stdev, random_seed,
+                mesh=mesh, grouping=grouping, dtype=self.dtype,
+                strategy=(
+                    "auto" if self.sweep_strategy in (
+                        "joint", "categorical"
+                    ) else self.sweep_strategy
+                ),
+                max_unrolled_colors=self.max_unrolled_colors,
+            )
+        return trainer.run(
+            config.n_iter, config.n_kept_samples, callback
+        )
 
     def get_hyper_trace(self) -> pd.DataFrame:
         """Tidy per-iteration hyperparameter trace (gibbs.py:109-142)."""

@@ -74,13 +74,23 @@ def chol_solve_sample(A, rhs, xi):
     """
     B, D, _ = A.shape
     dtype = A.dtype
+    # pivot floor: float32 cancellation in the assembled S can push a
+    # numerically-degenerate pivot non-positive (observed on ordered
+    # probit at ML-100k timesvdpp scale, alpha pinned to 1) — clamp it
+    # relative to the diagonal so the factorization never NaNs; healthy
+    # matrices are untouched (the floor is ~8 eps of the diagonal)
+    eps8 = 8.0 * jnp.finfo(dtype).eps
     cols = []  # cols[j]: column j of L as [B, D] (rows < j zeroed)
     for j in range(D):
         col = A[:, :, j]
         for k in range(j):
             col = col - cols[k] * cols[k][:, j : j + 1]
-        inv_d = lax.rsqrt(col[:, j])
-        colj = col * inv_d[:, None]
+        pivot = jnp.maximum(
+            col[:, j],
+            eps8 * jnp.abs(A[:, j, j]) + jnp.finfo(dtype).tiny,
+        )
+        inv_d = lax.rsqrt(pivot)
+        colj = (col.at[:, j].set(pivot)) * inv_d[:, None]
         mask = (jnp.arange(D) >= j).astype(dtype)
         cols.append(colj * mask)
     # forward: L z = rhs

@@ -439,14 +439,14 @@ class ShardedGibbsTrainer:
                 )
             )
 
-    def run(self, n_iter: int, n_kept_samples: int):
-        """Run the sharded chain; returns (samples, history-lite).
+    @property
+    def n_features(self) -> int:
+        return self.plan.n_features
 
-        Samples are (w0, w, V) tuples, plus cutpoints for ordered."""
-        master = jax.random.PRNGKey(self.random_seed)
+    def _initialize(self, state_key):
         # identical key schedule to GibbsTrainer._initialize so the
         # sharded chain matches the single-chip chain exactly
-        k_init, k_e = jax.random.split(jax.random.fold_in(master, 0))
+        k_init, k_e = jax.random.split(state_key)
         state = init_state(
             self.plan, self.rank, self.init_stdev, k_init, self.cfg,
             self.dtype,
@@ -457,8 +457,7 @@ class ShardedGibbsTrainer:
         state = dataclasses.replace(
             state, e=jnp.zeros((n_pad,), self.dtype)
         )
-        ordered = self.cfg.task == "ordered"
-        if ordered:
+        if self.cfg.task == "ordered":
             state = self._init_ordered(
                 self.plan, state, self.y_int, k_e
             )
@@ -474,19 +473,27 @@ class ShardedGibbsTrainer:
                 ),
             )
             state = dataclasses.replace(state, q=q0)
+        return state
 
-        y_arg = self.y_int if ordered else self.y
-        samples = []
-        for it in range(n_iter):
-            key = jax.random.fold_in(master, 1 + it)
-            state = self._sweep(self.plan, state, y_arg, key)
-            if it + n_kept_samples >= n_iter:
-                sample = (
-                    float(state.w0),
-                    np.asarray(state.w),
-                    np.asarray(state.V),
-                )
-                if ordered:
-                    sample = sample + (np.asarray(state.cutpoints),)
-                samples.append(sample)
-        return samples, state
+    def _sweep_call(self, state, key):
+        y_arg = self.y_int if self.cfg.task == "ordered" else self.y
+        return self._sweep(self.plan, state, y_arg, key)
+
+    def run(
+        self,
+        n_iter: int,
+        n_kept_samples: int,
+        callback=None,
+        checkpoint_path=None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+    ):
+        """Same contract as GibbsTrainer.run: (Predictor, History) with
+        callbacks, hyper trace, and checkpointing — multi-chip training
+        is a normal estimator feature, not a bare tuple API."""
+        from ..trainer import run_mcmc_loop
+
+        return run_mcmc_loop(
+            self, n_iter, n_kept_samples, callback, checkpoint_path,
+            checkpoint_every, resume,
+        )

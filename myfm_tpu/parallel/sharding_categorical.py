@@ -286,28 +286,33 @@ class ShardedCategoricalGibbsTrainer:
             )
         )(self.plan, self.y)
 
-    def run(self, n_iter: int, n_kept_samples: int):
-        """Run the sharded chain; returns (samples, final state)."""
-        master = jax.random.PRNGKey(self.random_seed)
+    @property
+    def n_features(self) -> int:
+        return self.plan.n_features
+
+    def _initialize(self, key):
         y_arg = self.y_int if self.cfg.task == "ordered" else self.y
-        state = self._init(
-            self.plan, y_arg, jax.random.fold_in(master, 0)
+        return self._init(self.plan, y_arg, key)
+
+    def _sweep_call(self, state, key):
+        y_arg = self.y_int if self.cfg.task == "ordered" else self.y
+        return self._sweep(
+            self.plan, state, y_arg, self._y_tiles, key
         )
-        samples = []
-        for it in range(n_iter):
-            key = jax.random.fold_in(master, 1 + it)
-            state = self._sweep(
-                self.plan, state, y_arg, self._y_tiles, key
-            )
-            if it + n_kept_samples >= n_iter:
-                sample = (
-                    float(state.core.w0),
-                    np.asarray(state.core.w),
-                    np.asarray(state.core.V),
-                )
-                if self.cfg.task == "ordered":
-                    sample = sample + (
-                        np.asarray(state.core.cutpoints),
-                    )
-                samples.append(sample)
-        return samples, state
+
+    def run(
+        self,
+        n_iter: int,
+        n_kept_samples: int,
+        callback=None,
+        checkpoint_path=None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+    ):
+        """Same contract as GibbsTrainer.run (Predictor, History)."""
+        from ..trainer import run_mcmc_loop
+
+        return run_mcmc_loop(
+            self, n_iter, n_kept_samples, callback, checkpoint_path,
+            checkpoint_every, resume, core_of=lambda s: s.core,
+        )

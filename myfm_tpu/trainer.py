@@ -86,6 +86,67 @@ def _fetch_hyper(state: GibbsState) -> FMHyperParameters:
     )
 
 
+def run_mcmc_loop(
+    trainer,
+    n_iter: int,
+    n_kept_samples: int,
+    callback=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    core_of=lambda s: s,
+) -> Tuple[Predictor, LearningHistory]:
+    """Shared MCMC driver (reference learn_with_callback,
+    FMTrainer.hpp:56-87): runs the chain, keeps the last
+    ``n_kept_samples`` weight samples, records the hyper trace, invokes
+    the callback with early-stop, and checkpoints every N sweeps.
+
+    ``trainer`` provides ``_initialize(key)``, ``_sweep_call(state,
+    key)``, and the ``rank / n_features / cfg / dtype / random_seed``
+    attributes; ``core_of`` maps the trainer's state to its GibbsState
+    (identity for the row-space trainers, ``.core`` for the
+    categorical fast path)."""
+    import os
+
+    from .checkpoint import load_checkpoint, save_checkpoint
+
+    master = jax.random.PRNGKey(trainer.random_seed)
+    state = trainer._initialize(jax.random.fold_in(master, 0))
+    start_it = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        state, start_it = load_checkpoint(checkpoint_path, state)
+
+    predictor = Predictor(
+        trainer.rank, trainer.n_features, trainer.cfg.task,
+        trainer.dtype,
+    )
+    history = LearningHistory()
+    for it in range(start_it, n_iter):
+        key = jax.random.fold_in(master, 1 + it)
+        state = trainer._sweep_call(state, key)
+        core = core_of(state)
+        view = LazyFMView(core)
+        if it + n_kept_samples >= n_iter:
+            predictor.samples.append(view.materialize())
+        history.hypers.append(_fetch_hyper(core))
+        if trainer.cfg.task == TASK_ORDERED:
+            history.n_mh_accept_trace.append(int(core.n_mh_accept))
+        if callback is not None:
+            if callback(it, view, history.hypers[-1], history):
+                break
+        if (
+            checkpoint_path
+            and checkpoint_every
+            and (it + 1) % checkpoint_every == 0
+        ):
+            save_checkpoint(checkpoint_path, state, it + 1)
+
+    final = core_of(state)
+    if trainer.cfg.task == TASK_ORDERED and final.n_mh_accept is not None:
+        history.n_mh_accept = [int(final.n_mh_accept)]
+    return predictor, history
+
+
 class GibbsTrainer:
     def __init__(
         self,
@@ -113,6 +174,14 @@ class GibbsTrainer:
         self._sweep = jax.jit(
             gibbs_sweep, static_argnums=(4,), donate_argnums=(1,)
         )
+
+    @property
+    def n_features(self) -> int:
+        return self.plan.n_features
+
+    def _sweep_call(self, state, key):
+        y_arg = self.y_int if self.cfg.task == TASK_ORDERED else self.y
+        return self._sweep(self.plan, state, y_arg, key, self.cfg)
 
     def _initialize(self, key) -> GibbsState:
         import dataclasses
@@ -169,49 +238,10 @@ class GibbsTrainer:
         continues from the checkpoint and reproduces the exact chain an
         uninterrupted run would have produced (keys are derived from
         (seed, iteration), so no RNG state needs saving)."""
-        import os
-
-        from .checkpoint import load_checkpoint, save_checkpoint
-
-        master = jax.random.PRNGKey(self.random_seed)
-        state = self._initialize(jax.random.fold_in(master, 0))
-        start_it = 0
-        if resume and checkpoint_path and os.path.exists(checkpoint_path):
-            state, start_it = load_checkpoint(checkpoint_path, state)
-
-        predictor = Predictor(
-            self.rank, self.plan.n_features, self.cfg.task, self.dtype
+        return run_mcmc_loop(
+            self, n_iter, n_kept_samples, callback, checkpoint_path,
+            checkpoint_every, resume,
         )
-        history = LearningHistory()
-
-        y_arg = self.y_int if self.cfg.task == TASK_ORDERED else self.y
-        for it in range(start_it, n_iter):
-            key = jax.random.fold_in(master, 1 + it)
-            state = self._sweep(self.plan, state, y_arg, key, self.cfg)
-
-            view = LazyFMView(state)
-            if it + n_kept_samples >= n_iter:
-                predictor.samples.append(view.materialize())
-            history.hypers.append(_fetch_hyper(state))
-            if self.cfg.task == TASK_ORDERED:
-                history.n_mh_accept_trace.append(
-                    int(state.n_mh_accept)
-                )
-
-            if callback is not None:
-                should_stop = callback(it, view, history.hypers[-1], history)
-                if should_stop:
-                    break
-            if (
-                checkpoint_path
-                and checkpoint_every
-                and (it + 1) % checkpoint_every == 0
-            ):
-                save_checkpoint(checkpoint_path, state, it + 1)
-
-        if self.cfg.task == TASK_ORDERED and state.n_mh_accept is not None:
-            history.n_mh_accept = [int(state.n_mh_accept)]
-        return predictor, history
 
 
 class CategoricalGibbsTrainer:
@@ -259,6 +289,17 @@ class CategoricalGibbsTrainer:
             categorical_sweep, static_argnums=(5, 6), donate_argnums=(1,)
         )
 
+    @property
+    def n_features(self) -> int:
+        return self.plan.n_features
+
+    def _sweep_call(self, state, key):
+        y_arg = self.y_int if self.cfg.task == TASK_ORDERED else self.y
+        return self._sweep(
+            self.plan, state, y_arg, self.y_tiles, key, self.cfg,
+            self._interpret,
+        )
+
     def _initialize(self, key):
         k_init, k_e = jax.random.split(key)
         core = init_state(
@@ -279,53 +320,7 @@ class CategoricalGibbsTrainer:
         checkpoint_every: int = 0,
         resume: bool = False,
     ) -> Tuple[Predictor, LearningHistory]:
-        import os
-
-        from .checkpoint import load_checkpoint, save_checkpoint
-
-        master = jax.random.PRNGKey(self.random_seed)
-        state = self._initialize(jax.random.fold_in(master, 0))
-        start_it = 0
-        if resume and checkpoint_path and os.path.exists(checkpoint_path):
-            state, start_it = load_checkpoint(checkpoint_path, state)
-
-        predictor = Predictor(
-            self.rank, self.plan.n_features, self.cfg.task, self.dtype
+        return run_mcmc_loop(
+            self, n_iter, n_kept_samples, callback, checkpoint_path,
+            checkpoint_every, resume, core_of=lambda s: s.core,
         )
-        history = LearningHistory()
-        y_arg = self.y_int if self.cfg.task == TASK_ORDERED else self.y
-        for it in range(start_it, n_iter):
-            key = jax.random.fold_in(master, 1 + it)
-            state = self._sweep(
-                self.plan, state, y_arg, self.y_tiles, key, self.cfg,
-                self._interpret,
-            )
-
-            view = LazyFMView(state.core)
-            if it + n_kept_samples >= n_iter:
-                predictor.samples.append(view.materialize())
-            history.hypers.append(_fetch_hyper(state.core))
-            if self.cfg.task == TASK_ORDERED:
-                history.n_mh_accept_trace.append(
-                    int(state.core.n_mh_accept)
-                )
-
-            if callback is not None:
-                should_stop = callback(
-                    it, view, history.hypers[-1], history
-                )
-                if should_stop:
-                    break
-            if (
-                checkpoint_path
-                and checkpoint_every
-                and (it + 1) % checkpoint_every == 0
-            ):
-                save_checkpoint(checkpoint_path, state, it + 1)
-
-        if (
-            self.cfg.task == TASK_ORDERED
-            and state.core.n_mh_accept is not None
-        ):
-            history.n_mh_accept = [int(state.core.n_mh_accept)]
-        return predictor, history

@@ -86,6 +86,13 @@ class MyFMVariationalBase(MyFMBase):
         from .ops.variational import VariationalConfig
         from .vi_trainer import CategoricalVITrainer, VariationalTrainer
 
+        if self.mesh is not None or (self.n_devices or 1) > 1:
+            raise NotImplementedError(
+                "Multi-chip (n_devices/mesh) training is implemented "
+                "for the Gibbs estimators; the variational estimators "
+                "run single-chip."
+            )
+
         cfg = VariationalConfig(
             task=config.task_type,
             alpha_0=config.alpha_0,

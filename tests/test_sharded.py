@@ -38,13 +38,13 @@ def test_sharded_equals_single_chip(n_devices, max_unrolled):
         mesh=mesh, dtype=np.float64,
         max_unrolled_colors=max_unrolled,
     )
-    samples, _ = trainer.run(8, 8)
+    pred, _ = trainer.run(8, 8)
 
-    assert len(samples) == 8
-    for (w0s, ws, vs), fm_sample in zip(samples, fm.predictor_.samples):
-        np.testing.assert_allclose(w0s, fm_sample.w0, rtol=1e-8)
-        np.testing.assert_allclose(ws, fm_sample.w, rtol=1e-6, atol=1e-9)
-        np.testing.assert_allclose(vs, fm_sample.V, rtol=1e-6, atol=1e-9)
+    assert len(pred.samples) == 8
+    for s_n, fm_sample in zip(pred.samples, fm.predictor_.samples):
+        np.testing.assert_allclose(s_n.w0, fm_sample.w0, rtol=1e-8)
+        np.testing.assert_allclose(s_n.w, fm_sample.w, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(s_n.V, fm_sample.V, rtol=1e-6, atol=1e-9)
 
 
 @pytest.mark.parametrize("n_dev", [2, 4])
@@ -85,11 +85,11 @@ def test_sharded_categorical_equals_single_chip(n_dev):
     tr_n = ShardedCategoricalGibbsTrainer(
         None, blocks, y, cfg, 2, 0.1, 7, mesh=mesh, dtype=np.float64
     )
-    s_n, _ = tr_n.run(8, 8)
-    for a, b in zip(p1.samples, s_n):
-        np.testing.assert_allclose(a.w0, b[0], rtol=1e-9)
-        np.testing.assert_allclose(a.w, b[1], rtol=1e-8, atol=1e-10)
-        np.testing.assert_allclose(a.V, b[2], rtol=1e-8, atol=1e-10)
+    pred_n, _ = tr_n.run(8, 8)
+    for a, b in zip(p1.samples, pred_n.samples):
+        np.testing.assert_allclose(a.w0, b.w0, rtol=1e-9)
+        np.testing.assert_allclose(a.w, b.w, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(a.V, b.V, rtol=1e-8, atol=1e-10)
 
 
 def _make_categorical_problem(seed=3, n=777, nu=23, ni=17):
@@ -138,11 +138,11 @@ def test_sharded_categorical_classification_parity(n_dev):
     tr_n = ShardedCategoricalGibbsTrainer(
         None, blocks, y, cfg, 2, 0.1, 7, mesh=mesh, dtype=np.float64
     )
-    s_n, _ = tr_n.run(6, 6)
-    for a, b in zip(p1.samples, s_n):
-        np.testing.assert_allclose(a.w0, b[0], rtol=1e-9, atol=1e-12)
-        np.testing.assert_allclose(a.w, b[1], rtol=1e-8, atol=1e-10)
-        np.testing.assert_allclose(a.V, b[2], rtol=1e-8, atol=1e-10)
+    pred_n, _ = tr_n.run(6, 6)
+    for a, b in zip(p1.samples, pred_n.samples):
+        np.testing.assert_allclose(a.w0, b.w0, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(a.w, b.w, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(a.V, b.V, rtol=1e-8, atol=1e-10)
 
 
 @pytest.mark.parametrize("n_dev", [2])
@@ -172,13 +172,13 @@ def test_sharded_categorical_ordered_parity(n_dev):
     tr_n = ShardedCategoricalGibbsTrainer(
         None, blocks, y, cfg, 2, 0.1, 7, mesh=mesh, dtype=np.float64
     )
-    s_n, _ = tr_n.run(6, 6)
-    for a, b in zip(p1.samples, s_n):
-        np.testing.assert_allclose(a.w0, b[0], rtol=1e-9, atol=1e-12)
-        np.testing.assert_allclose(a.w, b[1], rtol=1e-8, atol=1e-10)
-        np.testing.assert_allclose(a.V, b[2], rtol=1e-8, atol=1e-10)
+    pred_n, _ = tr_n.run(6, 6)
+    for a, b in zip(p1.samples, pred_n.samples):
+        np.testing.assert_allclose(a.w0, b.w0, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(a.w, b.w, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(a.V, b.V, rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(
-            a.cutpoints[0], b[3], rtol=1e-8, atol=1e-10
+            a.cutpoints[0], b.cutpoints[0], rtol=1e-8, atol=1e-10
         )
 
 
@@ -209,13 +209,13 @@ def test_sharded_colored_ordered_parity(n_dev):
         X_main, blocks, y, cfg, rank=2, init_stdev=0.1, random_seed=7,
         mesh=mesh, dtype=np.float64,
     )
-    s_n, _ = tr_n.run(6, 6)
-    for a, b in zip(p1.samples, s_n):
-        np.testing.assert_allclose(a.w0, b[0], rtol=1e-9, atol=1e-12)
-        np.testing.assert_allclose(a.w, b[1], rtol=1e-8, atol=1e-10)
-        np.testing.assert_allclose(a.V, b[2], rtol=1e-8, atol=1e-10)
+    pred_n, _ = tr_n.run(6, 6)
+    for a, b in zip(p1.samples, pred_n.samples):
+        np.testing.assert_allclose(a.w0, b.w0, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(a.w, b.w, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(a.V, b.V, rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(
-            a.cutpoints[0], b[3], rtol=1e-8, atol=1e-10
+            a.cutpoints[0], b.cutpoints[0], rtol=1e-8, atol=1e-10
         )
 
 
@@ -237,8 +237,56 @@ def test_sharded_joint_equals_single_chip(n_dev):
         rank=2, init_stdev=0.1, random_seed=7,
         mesh=mesh, dtype=np.float64,
     )
-    samples, _ = trainer.run(6, 6)
-    for (w0s, ws, vs), fm_sample in zip(samples, fm.predictor_.samples):
-        np.testing.assert_allclose(w0s, fm_sample.w0, rtol=1e-8)
-        np.testing.assert_allclose(ws, fm_sample.w, rtol=1e-6, atol=1e-9)
-        np.testing.assert_allclose(vs, fm_sample.V, rtol=1e-6, atol=1e-9)
+    pred_j, _ = trainer.run(6, 6)
+    for s_n, fm_sample in zip(pred_j.samples, fm.predictor_.samples):
+        np.testing.assert_allclose(s_n.w0, fm_sample.w0, rtol=1e-8)
+        np.testing.assert_allclose(s_n.w, fm_sample.w, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(s_n.V, fm_sample.V, rtol=1e-6, atol=1e-9)
+
+
+def test_estimator_n_devices_api():
+    """fm.fit(..., n_devices=2) is a first-class estimator feature:
+    same samples as the single-chip fit, normal Predictor/History,
+    callbacks and hyper trace included (round-1 VERDICT item 4d)."""
+    blocks, score = _make_categorical_problem(seed=31, n=401)
+    y = score
+
+    fm1 = MyFMGibbsRegressor(
+        rank=2, random_seed=9, dtype=np.float64
+    ).fit(None, y, X_rel=blocks, n_iter=6, n_kept_samples=6)
+
+    seen = []
+
+    def cb(it, fm, hyper, hist):
+        seen.append(it)
+        return False, ""
+
+    fm2 = MyFMGibbsRegressor(
+        rank=2, random_seed=9, dtype=np.float64, n_devices=2
+    ).fit(None, y, X_rel=blocks, n_iter=6, n_kept_samples=6,
+          callback=cb)
+
+    assert seen == list(range(6))
+    assert len(fm2.predictor_.samples) == 6
+    for a, b in zip(fm1.predictor_.samples, fm2.predictor_.samples):
+        np.testing.assert_allclose(a.w0, b.w0, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(a.w, b.w, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(a.V, b.V, rtol=1e-8, atol=1e-10)
+    # normal estimator surface works on the sharded fit
+    p1 = fm1.predict(None, X_rel=blocks)
+    p2 = fm2.predict(None, X_rel=blocks)
+    np.testing.assert_allclose(p1, p2, rtol=1e-7, atol=1e-9)
+    tr = fm2.get_hyper_trace()
+    assert tr.shape[0] == 6
+
+    # general (non-categorical) designs route to the colored sharded
+    # trainer through the same API
+    X_main, blocks2, y2 = _make_relational_problem(seed=33, n_rows=202)
+    fm3 = MyFMGibbsRegressor(
+        rank=2, random_seed=5, dtype=np.float64
+    ).fit(X_main, y2, X_rel=blocks2, n_iter=4, n_kept_samples=4)
+    fm4 = MyFMGibbsRegressor(
+        rank=2, random_seed=5, dtype=np.float64, n_devices=2
+    ).fit(X_main, y2, X_rel=blocks2, n_iter=4, n_kept_samples=4)
+    for a, b in zip(fm3.predictor_.samples, fm4.predictor_.samples):
+        np.testing.assert_allclose(a.V, b.V, rtol=1e-6, atol=1e-9)
