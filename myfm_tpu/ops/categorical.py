@@ -322,12 +322,78 @@ def _table_pass(
         (_, G), _ = chunk_body(carry0, xc)
     else:
         (_, G), _ = lax.scan(chunk_body, carry0, xs)
-    if cfg.axis_name is not None:
-        # SPMD: rows are sharded; per-shard partial Grams sum to the
-        # global per-entity statistics.  Weights/noise are replicated,
-        # so every draw downstream is identical on every device.
-        G = lax.psum(G, cfg.axis_name)
 
+    nw_t = noise_w[t.noise_feat]
+    nV_t = noise_V[t.noise_feat]
+    use_rs = (
+        cfg.axis_name is not None
+        and cfg.gram_reduce_scatter
+        and B % cfg.n_devices == 0
+        and cfg.n_devices > 1
+    )
+    if use_rs:
+        # SPMD, reduce-scatter layout: each device receives the summed
+        # Gram for ITS contiguous entity window only ((n−1)/n of the
+        # psum's ICI bytes), draws that window's weights (per-feature
+        # noise ⇒ identical values regardless of which device computes
+        # them), and the [Bw, 1+R] drawn weights are all-gathered —
+        # a factor ~(D²/(1+R)) less traffic than psum'ing [B, D, D].
+        Bw = B // cfg.n_devices
+        Gw = lax.psum_scatter(
+            G, cfg.axis_name, scatter_dimension=0, tiled=True
+        )
+        idx = lax.axis_index(cfg.axis_name)
+        start = idx * Bw
+
+        def win(a):
+            begin = (start,) + tuple(
+                jnp.zeros((), start.dtype) for _ in range(a.ndim - 1)
+            )
+            return lax.dynamic_slice(
+                a, begin, (Bw,) + a.shape[1:]
+            )
+
+        w_new_w, V_new_w, parts = _entity_draws(
+            Gw, win(w_t), win(V_t), win(g_t), alpha, lambda_w, mu_w,
+            lambda_V, mu_V, win(nw_t), win(nV_t), cfg, want_moments,
+        )
+        w_new = lax.all_gather(
+            w_new_w, cfg.axis_name, axis=0, tiled=True
+        )
+        V_new = lax.all_gather(
+            V_new_w, cfg.axis_name, axis=0, tiled=True
+        )
+        moments = None
+        if want_moments:
+            sum_e = lax.psum(parts[0], cfg.axis_name)
+            sum_e2 = lax.psum(parts[1], cfg.axis_name)
+            moments = (sum_e, sum_e2)
+    else:
+        if cfg.axis_name is not None:
+            # SPMD: rows are sharded; per-shard partial Grams sum to
+            # the global per-entity statistics.  Weights/noise are
+            # replicated, so every draw downstream is identical on
+            # every device.
+            G = lax.psum(G, cfg.axis_name)
+        w_new, V_new, parts = _entity_draws(
+            G, w_t, V_t, g_t, alpha, lambda_w, mu_w, lambda_V, mu_V,
+            nw_t, nV_t, cfg, want_moments,
+        )
+        moments = parts if want_moments else None
+
+    w = lax.dynamic_update_slice(w, w_new, (t.col_offset,))
+    V = lax.dynamic_update_slice(V, V_new, (t.col_offset, 0))
+    return w, V, moments
+
+
+def _entity_draws(G, w_t, V_t, g_t, alpha, lambda_w, mu_w, lambda_V,
+                  mu_V, noise_w_t, noise_V_t, cfg, want_moments):
+    """Per-entity w draw + factor scan from the Gram statistics.
+
+    Operates on any contiguous entity window (the full table, or one
+    device's reduce-scatter shard); all operands are window-sliced.
+    Returns (w_new, V_new, (Σe, Σe²) partial sums over the window)."""
+    rank = V_t.shape[1]
     card = G[:, 0, 0]
     E1 = G[:, 0, 1]
     Sphi = G[:, 0, 2:]  # [B, R]
@@ -336,11 +402,11 @@ def _table_pass(
     lam_w = lambda_w[g_t]
     mu_wg = mu_w[g_t]
 
-    # --- linear weight draw (vectorized over the whole table) ---------
+    # --- linear weight draw (vectorized over the whole window) --------
     if cfg.fit_linear:
         quad = alpha * card + lam_w
         lin = alpha * (card * w_t - E1) + lam_w * mu_wg
-        w_new = _draw_normal(quad, lin, noise_w[t.noise_feat])
+        w_new = _draw_normal(quad, lin, noise_w_t)
         dw = w_new - w_t
         # e_n += dw_u  ->  EQ_r += dw * Sphi_r  (E1 not reused)
         EQphi = EQphi0 + dw[:, None] * Sphi
@@ -358,7 +424,6 @@ def _table_pass(
         C = min(8, rank)
         lam_V = lambda_V[g_t]  # [B, R]
         mu_Vg = mu_V[g_t]  # [B, R]
-        noise_V_t = noise_V[t.noise_feat]  # [B, R]
 
         v_new_cols = []
         EQ_corr = jnp.zeros_like(EQphi)
@@ -397,7 +462,7 @@ def _table_pass(
     else:
         V_new = V_t
 
-    moments = None
+    parts = None
     if want_moments:
         dV = V_new - V_t  # [B, R]
         E2 = jnp.sum(G[:, 1, 1])
@@ -413,11 +478,9 @@ def _table_pass(
             )
         )
         sum_e2 = E2 + 2.0 * cross + quad_term
-        moments = (sum_e, sum_e2)
+        parts = (sum_e, sum_e2)
 
-    w = lax.dynamic_update_slice(w, w_new, (t.col_offset,))
-    V = lax.dynamic_update_slice(V, V_new, (t.col_offset, 0))
-    return w, V, moments
+    return w_new, V_new, parts
 
 
 def _row_validity(plan: CategoricalPlan, cfg: GibbsConfig, dtype):

@@ -80,6 +80,12 @@ class GibbsConfig:
     # (measured: lax.scan costs ~370 us/step at unroll=1 on a v5e but
     # ~37 us/step at unroll>=2; see ops/joint.py)
     joint_unroll: int = 4
+    # SPMD fast path: reduce-scatter each table's [B, D, D] Gram by
+    # entity window and all-gather only the [B, 1+R] drawn weights —
+    # ~(D²/(1+R))x less ICI traffic than psum'ing the full Gram (e.g.
+    # ~2.6 GB -> ~75 MB per sweep at B=80k, rank 128).  Falls back to
+    # the psum when the entity count doesn't divide the mesh.
+    gram_reduce_scatter: bool = True
 
 
 @dataclasses.dataclass

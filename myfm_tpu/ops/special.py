@@ -54,9 +54,20 @@ def safe_ldiff(a, b):
 
 
 def _inv_survival(log_sf, dtype):
-    """t such that P(N(0,1) > t) = exp(log_sf), stable for tiny sf."""
+    """t such that P(N(0,1) > t) = exp(log_sf), stable for tiny sf.
+
+    Clamped at BOTH ends: float32 uniforms can round to 1.0, which
+    would drive exp(log_sf) → 1 and ndtri → -inf — an infinite latent
+    residual that NaNs the whole chain one sweep later (observed on
+    ordered probit, where the outermost classes have no finite bound
+    for the final clip to recover with)."""
     tiny = jnp.finfo(dtype).tiny
-    log_sf = jnp.maximum(log_sf, jnp.log(tiny) + 2.0)
+    eps = jnp.finfo(dtype).eps
+    log_sf = jnp.clip(
+        log_sf,
+        jnp.log(tiny) + 2.0,
+        jnp.log1p(-jnp.asarray(4.0 * eps, dtype)),
+    )
     return -ndtri(jnp.exp(log_sf))
 
 

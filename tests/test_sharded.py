@@ -290,3 +290,50 @@ def test_estimator_n_devices_api():
     ).fit(X_main, y2, X_rel=blocks2, n_iter=4, n_kept_samples=4)
     for a, b in zip(fm3.predictor_.samples, fm4.predictor_.samples):
         np.testing.assert_allclose(a.V, b.V, rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_categorical_reduce_scatter_parity(n_dev):
+    """Entity counts divisible by the mesh -> the fast path
+    reduce-scatters each table's Gram by entity window and all-gathers
+    only the drawn weights; the chain must still equal single-chip
+    (per-feature noise makes the windowed draws identical values)."""
+    import scipy.sparse as sps
+
+    from myfm_tpu import RelationBlock
+    from myfm_tpu.design_categorical import try_compile_categorical
+    from myfm_tpu.ops.gibbs import GibbsConfig
+    from myfm_tpu.parallel.sharding_categorical import (
+        ShardedCategoricalGibbsTrainer,
+    )
+    from myfm_tpu.trainer import CategoricalGibbsTrainer
+
+    rng = np.random.RandomState(7)
+    n, nu, ni = 555, 24, 16  # entity counts divisible by 2 and 4
+    u, i = rng.randint(0, nu, n), rng.randint(0, ni, n)
+    y = (
+        rng.normal(size=nu)[u] + rng.normal(size=ni)[i]
+        + 0.3 * rng.normal(size=n)
+    )
+    blocks = [
+        RelationBlock(u, sps.identity(nu, format="csr")),
+        RelationBlock(i, sps.identity(ni, format="csr")),
+    ]
+    cfg = GibbsConfig(task="regression")
+    assert cfg.gram_reduce_scatter  # default on
+
+    plan1 = try_compile_categorical(
+        None, blocks, None, None, np.float64, rank=3
+    )
+    tr1 = CategoricalGibbsTrainer(plan1, y, cfg, 3, 0.1, 7, np.float64)
+    p1, _ = tr1.run(8, 8)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    tr_n = ShardedCategoricalGibbsTrainer(
+        None, blocks, y, cfg, 3, 0.1, 7, mesh=mesh, dtype=np.float64
+    )
+    pred_n, _ = tr_n.run(8, 8)
+    for a, b in zip(p1.samples, pred_n.samples):
+        np.testing.assert_allclose(a.w0, b.w0, rtol=1e-9)
+        np.testing.assert_allclose(a.w, b.w, rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(a.V, b.V, rtol=1e-8, atol=1e-10)
