@@ -17,8 +17,17 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
+
+# Persistent XLA compile cache: the remote-TPU tunnel makes each
+# compilation expensive (hundreds of seconds for the first program
+# storm); cached reruns compile in seconds.  Must be set before jax
+# initializes.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/tmp/myfm_tpu_xla_cache"
+)
 
 import numpy as np
 import scipy.sparse as sps

@@ -401,6 +401,17 @@ def _pack_tiles(
     )
 
 
+def _upload_ids(a: np.ndarray, max_id: int) -> jax.Array:
+    """Upload an id array through the slow tunnel with the narrowest
+    dtype that holds 0..max_id (inclusive, pads use max_id), widening
+    to int32 on device."""
+    if max_id <= np.iinfo(np.uint8).max:
+        return jnp.asarray(a.astype(np.uint8)).astype(jnp.int32)
+    if max_id <= np.iinfo(np.int16).max:
+        return jnp.asarray(a.astype(np.int16)).astype(jnp.int32)
+    return jnp.asarray(a.astype(np.int32))
+
+
 def compile_categorical_table(
     ent: np.ndarray,
     n_entities: int,
@@ -480,10 +491,21 @@ def compile_categorical_table(
         chunk_tiles, forced_max_fin=max_fin_pad,
     )
 
+    # Host->device transfers ride a ~3.5 MB/s tunnel in this
+    # environment, so the upload bytes ARE the design-compile wall time
+    # at 10M rows.  Narrow dtypes go over the wire and widen on device;
+    # ent_of_tile_row is derived on device (it is a gather of ent_main
+    # by src) instead of being uploaded at all.
+    src_dev = jnp.asarray(src)
+    ent_main_dev = _upload_ids(ent.astype(np.int64), n_entities)
+    ent_pad_dev = jnp.concatenate(
+        [ent_main_dev, jnp.asarray([n_entities], jnp.int32)]
+    )
+    ent_tile_dev = ent_pad_dev[jnp.minimum(src_dev, n_rows)]
     return CategoricalTable(
-        src=jnp.asarray(src),
-        slot=jnp.asarray(slot),
-        ent_of_tile_row=jnp.asarray(ent_tile),
+        src=src_dev,
+        slot=_upload_ids(np.asarray(slot, np.int64), S),
+        ent_of_tile_row=ent_tile_dev,
         cont_in=jnp.asarray(cont_in),
         cont_out=jnp.asarray(cont_out),
         last_slot=jnp.asarray(last_slot),
@@ -493,7 +515,7 @@ def compile_categorical_table(
         fin_idx=jnp.asarray(fin_idx),
         fin_mask=jnp.asarray(fin_mask),
         cardinality=jnp.asarray(card),
-        ent_main=jnp.asarray(ent.astype(np.int32)),
+        ent_main=ent_main_dev,
         noise_feat=jnp.asarray(
             col_offset + np.arange(n_entities, dtype=np.int32)
         ),
@@ -631,24 +653,21 @@ def try_compile_categorical(
         tables.append(tab)
     tables = tuple(tables)
 
-    # cross-table entity maps in each table's tile-row order
+    # cross-table entity maps in each table's tile-row order — pure
+    # device gathers of the already-uploaded per-table mappings (no
+    # [NT]-sized host↔device traffic per table pair)
     cross_ent = []
     for t in tables:
-        src = np.asarray(t.src)
         row = []
-        for t2, (ent2, B2, _off2) in zip(tables, mappings):
+        for t2 in tables:
             if t2 is t:
                 row.append(t.ent_of_tile_row)
                 continue
-            ent2_pad = np.concatenate(
-                [np.asarray(ent2, dtype=np.int64),
-                 np.asarray([B2], dtype=np.int64)]
+            ent2_pad = jnp.concatenate(
+                [t2.ent_main,
+                 jnp.asarray([t2.n_cols], jnp.int32)]
             )
-            row.append(
-                jnp.asarray(
-                    ent2_pad[np.minimum(src, n_rows)].astype(np.int32)
-                )
-            )
+            row.append(ent2_pad[jnp.minimum(t.src, n_rows)])
         cross_ent.append(tuple(row))
 
     return CategoricalPlan(
