@@ -45,6 +45,14 @@ except Exception:  # pragma: no cover
 DEFAULT_TILE_ROWS = 1024  # T (measured sweet spot on v5e at D=34)
 DEFAULT_TILE_ENTITIES = 8  # S
 
+# Entity+attribute gates: a non-one-hot column group of a block is
+# compiled as a dense per-entity side matrix only when the dense
+# [B, Fs] footprint and the stacked per-color operands [C, B] both
+# stay bounded (f32 elements), and the greedy coloring of the side
+# columns (conflict = co-occurrence in a block row) stays shallow.
+SIDE_DENSE_ELEMS = 1 << 25
+SIDE_MAX_COLORS = 2048
+
 
 # VMEM budget for the Gram kernel's A-matrix scratch (T x S*Dp f32);
 # the A-build holds ~4 temporaries of this size, so keep it well under
@@ -188,6 +196,80 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class SideInfo:
+    """Per-entity side features of one entity+attribute table.
+
+    The owning ``CategoricalTable`` tiles the *block rows* themselves
+    (``ent[n] = mapper[n]``, ``B = block_size``); the side matrix holds
+    the non-one-hot feature values of each block row.  The reference
+    treats these columns through its generic per-coordinate scan
+    (FMTrainer.hpp:256-314, 379-482); here they are drawn with
+    (R+1)-dim joint conditionals per feature, one graph color at a
+    time, entirely in entity space (ops/categorical.py:_ea_table_pass).
+
+    Colors partition the side columns into row-disjoint sets, so the
+    per-color operands collapse to dense B-vectors (``xw``: the x value
+    at each block row, 0 where absent; ``segb``: the feature slot).
+    """
+
+    xs: jax.Array  # [B, Fs] float — dense side matrix
+    feat_cols: jax.Array  # [Fs] int32 — global feature ids
+    stack_xw: jax.Array  # [C, B] float
+    stack_segb: jax.Array  # [C, B] int32 (pad = Pf)
+    stack_feat: jax.Array  # [C, Pf] int32 global ids (pad = F_total)
+    n_cols: int = dataclasses.field(metadata=dict(static=True))  # Fs
+
+
+jax.tree_util.register_dataclass(
+    SideInfo,
+    data_fields=["xs", "feat_cols", "stack_xw", "stack_segb",
+                 "stack_feat"],
+    meta_fields=["n_cols"],
+)
+
+
+def compile_side_info(
+    Xs: sps.csr_matrix,
+    col_ids: np.ndarray,
+    n_features: int,
+    dtype,
+) -> Optional[SideInfo]:
+    """Dense side matrix + stacked per-color draw operands, or None
+    when the footprint/coloring gates fail."""
+    from .design import greedy_color
+
+    Xs = sps.csr_matrix(Xs)
+    B, Fs = Xs.shape
+    if B * Fs > SIDE_DENSE_ELEMS:
+        return None
+    colors = greedy_color(Xs.tocsc())
+    C = len(colors)
+    if C > SIDE_MAX_COLORS or C * B > SIDE_DENSE_ELEMS:
+        return None
+    col_ids = np.asarray(col_ids, dtype=np.int64)
+    Pf = max(max(len(c) for c in colors), 1)
+    xw = np.zeros((C, B), dtype=dtype)
+    segb = np.full((C, B), Pf, dtype=np.int32)
+    feat = np.full((C, Pf), n_features, dtype=np.int64)
+    csc = Xs.tocsc()
+    for ci, cols in enumerate(colors):
+        for sj, j in enumerate(cols):
+            lo, hi = csc.indptr[j], csc.indptr[j + 1]
+            rows = csc.indices[lo:hi]
+            xw[ci, rows] = csc.data[lo:hi]
+            segb[ci, rows] = sj
+            feat[ci, sj] = col_ids[j]
+    return SideInfo(
+        xs=jnp.asarray(Xs.toarray().astype(dtype)),
+        feat_cols=_upload_ids(col_ids, n_features),
+        stack_xw=jnp.asarray(xw),
+        stack_segb=jnp.asarray(segb),
+        stack_feat=_upload_ids(feat, n_features),
+        n_cols=Fs,
+    )
+
+
 # rows per Gram chunk in the sweep's lax.scan — bounds both the
 # [chunk, R]-sized temporaries and (via per-chunk Gram consumption)
 # removes any K*S*D*D-sized array
@@ -261,16 +343,24 @@ class CategoricalPlan:
     # real (unmasked) rows across ALL shards — the n in the alpha/w0
     # conditionals; equals n_rows on single-chip plans
     n_real: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    # side[t] is the SideInfo of table t when t is an entity+attribute
+    # table (its entities are block rows carrying per-entity side
+    # features), else None; all-None for plain all-one-hot designs
+    side: Tuple[Optional[SideInfo], ...] = ()
 
     def __post_init__(self):
         if self.n_real < 0:
             object.__setattr__(self, "n_real", self.n_rows)
+        if len(self.side) != len(self.tables):
+            object.__setattr__(
+                self, "side", tuple(None for _ in self.tables)
+            )
 
 
 jax.tree_util.register_dataclass(
     CategoricalPlan,
     data_fields=["tables", "cross_ent", "group_index", "group_counts",
-                 "row_mask"],
+                 "row_mask", "side"],
     meta_fields=["n_rows", "n_features", "n_groups", "n_real"],
 )
 
@@ -534,11 +624,17 @@ def extract_categorical_mappings(
     blocks: Sequence,
     grouping: Optional[np.ndarray],
     dtype,
+    allow_side: bool = False,
 ):
-    """(mappings, n_rows, n_features, grouping) for an all-categorical
-    design, or None.  A mapping is (ent [N], B, col_offset).  A grouped
-    flattened main table splits into one table per column group so
-    blocked ≡ flattened stays exact."""
+    """(mappings, side_specs, n_rows, n_features, grouping) for a
+    categorical / entity+attribute design, or None.
+
+    A mapping is (ent [N], B, col_offset) — one one-hot table.  A side
+    spec is (ent [N], block_size, Xs csr [block_size, Fs], col_ids):
+    the non-one-hot column groups of one block, compiled (when
+    ``allow_side``) into an entity+attribute table whose entities are
+    the block rows.  A grouped flattened main table splits into one
+    table per column group so blocked ≡ flattened stays exact."""
     if X is None:
         if not blocks:
             return None
@@ -552,11 +648,15 @@ def extract_categorical_mappings(
         grouping = np.asarray(grouping, dtype=np.int32)
 
     mappings: List[Tuple[np.ndarray, int, int]] = []  # (ent, B, offset)
+    side_specs: List[Tuple[np.ndarray, int, sps.csr_matrix, np.ndarray]]
+    side_specs = []
     if X.shape[1] > 0:
         ent = categorical_mapping(X)
         if ent is not None:
             mappings.append((ent, X.shape[1], 0))
         elif grouping is not None:
+            # main-table rows have no entity compression, so non-one-
+            # hot main groups stay on the colored/joint paths
             g_main = grouping[: X.shape[1]]
             if g_main.size and (np.diff(g_main) >= 0).all():
                 bounds = np.searchsorted(
@@ -583,35 +683,55 @@ def extract_categorical_mappings(
         ent = categorical_mapping(bx, mapper)
         if ent is not None:
             mappings.append((ent, b.feature_size, offset))
-        elif grouping is not None:
-            # a block whose column groups are EACH one-hot per block
-            # row (e.g. [user-id | age-bucket | gender | occupation])
-            # splits into one categorical table per group, with entity
-            # maps composed through the block mapper: every attribute
-            # is a categorical feature of the same rows
+            offset += b.feature_size
+            continue
+        # split the block by column group: one-hot groups become
+        # categorical tables (entity maps composed through the block
+        # mapper); the remaining groups — multi-hot genres, implicit-
+        # feedback vectors, numeric attributes — are per-entity side
+        # features of the block rows (entity+attribute table)
+        side_cols: List[int] = []
+        if grouping is not None:
             g_blk = grouping[offset : offset + b.feature_size]
-            if g_blk.size and (np.diff(g_blk) >= 0).all():
-                bounds = np.searchsorted(
-                    g_blk - g_blk[0], np.arange(g_blk[-1] - g_blk[0] + 2)
-                )
-                bc = bx.tocsc()
-                for gi in range(g_blk[-1] - g_blk[0] + 1):
-                    lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-                    if hi <= lo:
-                        continue
-                    sub = bc[:, lo:hi].tocsr()
-                    ent = categorical_mapping(sub, mapper)
-                    if ent is None:
-                        return None
-                    mappings.append((ent, hi - lo, offset + lo))
-            else:
+            if not (g_blk.size and (np.diff(g_blk) >= 0).all()):
                 return None
+            bounds = np.searchsorted(
+                g_blk - g_blk[0], np.arange(g_blk[-1] - g_blk[0] + 2)
+            )
+            bc = bx.tocsc()
+            for gi in range(g_blk[-1] - g_blk[0] + 1):
+                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+                if hi <= lo:
+                    continue
+                sub = bc[:, lo:hi].tocsr()
+                ent = categorical_mapping(sub, mapper)
+                if ent is not None:
+                    mappings.append((ent, hi - lo, offset + lo))
+                elif allow_side:
+                    side_cols.extend(range(lo, hi))
+                else:
+                    return None
+        elif allow_side:
+            # ungrouped non-one-hot block: the whole block is one
+            # entity+attribute table
+            side_cols = list(range(b.feature_size))
         else:
             return None
+        if side_cols:
+            side_cols_a = np.asarray(side_cols, dtype=np.int64)
+            Xs = bx.tocsc()[:, side_cols_a].tocsr()
+            side_specs.append(
+                (
+                    mapper.astype(np.int64),
+                    b.block_size,
+                    Xs,
+                    offset + side_cols_a,
+                )
+            )
         offset += b.feature_size
-    if not mappings:
+    if not mappings and not side_specs:
         return None
-    return mappings, n_rows, n_features, grouping
+    return mappings, side_specs, n_rows, n_features, grouping
 
 
 def try_compile_categorical(
@@ -624,14 +744,18 @@ def try_compile_categorical(
     S: int = DEFAULT_TILE_ENTITIES,
     rank: int = 32,
     max_inflation: float = 4.0,
+    allow_side: bool = False,
 ) -> Optional[CategoricalPlan]:
-    """Compile the fast-path plan, or None if any table is not
-    categorical.  Mirrors compile_design's grouping semantics."""
+    """Compile the fast-path plan, or None if any table is neither
+    one-hot nor (with ``allow_side``) an entity+attribute block.
+    Mirrors compile_design's grouping semantics."""
     dtype = np.dtype(dtype)
-    extracted = extract_categorical_mappings(X, blocks, grouping, dtype)
+    extracted = extract_categorical_mappings(
+        X, blocks, grouping, dtype, allow_side=allow_side
+    )
     if extracted is None:
         return None
-    mappings, n_rows, n_features, grouping = extracted
+    mappings, side_specs, n_rows, n_features, grouping = extracted
 
     if grouping is None:
         grouping = np.zeros(n_features, dtype=np.int32)
@@ -643,6 +767,7 @@ def try_compile_categorical(
     group_counts = np.bincount(grouping, minlength=n_groups).astype(dtype)
 
     tables = []
+    side: List[Optional[SideInfo]] = []
     for ent, B, off in mappings:
         tab = compile_categorical_table(
             ent, B, off, n_rows, dtype, T=T, S=S, rank=rank,
@@ -651,6 +776,19 @@ def try_compile_categorical(
         if tab is None:
             return None
         tables.append(tab)
+        side.append(None)
+    for ent, B, Xs, col_ids in side_specs:
+        info = compile_side_info(Xs, col_ids, n_features, dtype)
+        if info is None:
+            return None
+        tab = compile_categorical_table(
+            ent, B, int(col_ids[0]), n_rows, dtype, T=T, S=S,
+            rank=rank, max_inflation=max_inflation,
+        )
+        if tab is None:
+            return None
+        tables.append(tab)
+        side.append(info)
     tables = tuple(tables)
 
     # cross-table entity maps in each table's tile-row order — pure
@@ -676,6 +814,7 @@ def try_compile_categorical(
         group_index=jnp.asarray(grouping),
         group_counts=jnp.asarray(group_counts),
         row_mask=None,
+        side=tuple(side),
         n_rows=n_rows,
         n_features=n_features,
         n_groups=int(n_groups),

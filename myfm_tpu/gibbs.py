@@ -93,12 +93,17 @@ class MyFMGibbsBase(MyFMBase):
                 n_groups=None,
                 dtype=self.dtype,
                 rank=rank,
+                # side features are drawn as (R+1)-joint [w|V] rows, so
+                # the entity+attribute extension needs the linear terms
+                allow_side=bool(config.fit_linear),
             )
         if cat_plan is None:
             if self.sweep_strategy == "categorical":
                 raise ValueError(
                     "sweep_strategy='categorical' requires every table "
-                    "(main and blocks) to be one-hot per row."
+                    "(main and blocks) to be one-hot per row, or a "
+                    "block of [one-hot | per-entity side-feature] "
+                    "column groups within the entity+attribute gates."
                 )
             plan = compile_design(
                 X,

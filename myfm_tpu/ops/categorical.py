@@ -118,7 +118,54 @@ def _wv_rows(w, V, t2: CategoricalTable, idx: jax.Array) -> jax.Array:
     return _pad_zero_row(wv)[idx]
 
 
-def _score_parts(plan: CategoricalPlan, w, V, w0, ent_maps, ones):
+def eff_tables(plan: CategoricalPlan, w, V):
+    """Per-table effective entity weights.
+
+    ``None`` for plain one-hot tables (their [w_t | V_t] slices ARE the
+    per-entity tables).  For an entity+attribute table (plan.side[t]),
+    the gather source is the dense per-entity reduction of the side
+    weights (round-1 design; reference treats these columns through the
+    generic coordinate scan, FMTrainer.hpp:256-314):
+
+        w̃_u = Xs[u,:]·w_s,  Ṽ_u = Xs[u,:]@V_s,
+        ds_u = Σ_r (Xs²[u,:]·V_s²[:,r] − Ṽ_ur²)   (QS − Q² correction),
+
+    packed as one [B, 1+R+1] array [w̃ | Ṽ | ds]."""
+    out = []
+    for t, si in zip(plan.tables, plan.side):
+        if si is None:
+            out.append(None)
+            continue
+        w_s = w[si.feat_cols]  # [Fs]
+        V_s = V[si.feat_cols]  # [Fs, R]
+        hi = lax.Precision.HIGHEST
+        w_eff = jnp.matmul(si.xs, w_s, precision=hi)  # [B]
+        V_eff = jnp.matmul(si.xs, V_s, precision=hi)  # [B, R]
+        S_eff = jnp.matmul(si.xs * si.xs, V_s * V_s, precision=hi)
+        ds = jnp.sum(S_eff - V_eff * V_eff, axis=1)  # [B]
+        out.append(
+            jnp.concatenate(
+                [w_eff[:, None], V_eff, ds[:, None]], axis=1
+            )
+        )
+    return out
+
+
+def _eff_rows(w, V, t2: CategoricalTable, eff2, idx: jax.Array):
+    """Gather table t2's per-entity contribution rows by entity index.
+
+    Returns (g [n, 1+R], ds [n]): the [w|V] rows plus the QS−Q²
+    correction (0 for one-hot tables, whose per-row QS is exactly the
+    squared gathered factor row)."""
+    if eff2 is None:
+        g = _wv_rows(w, V, t2, idx)
+        return g, None
+    rows = _pad_zero_row(eff2)[idx]
+    return rows[:, :-1], rows[:, -1]
+
+
+def _score_parts(plan: CategoricalPlan, w, V, w0, ent_maps, ones,
+                 eff=None):
     """(score, Q) at the rows addressed by ent_maps[t2] for each table.
 
     ``ones`` masks pad rows (only needed for the w0 term; gathered pad
@@ -128,14 +175,18 @@ def _score_parts(plan: CategoricalPlan, w, V, w0, ent_maps, ones):
     rank = V.shape[1]
     n = ent_maps[0].shape[0]
     dtype = V.dtype
+    if eff is None:
+        eff = eff_tables(plan, w, V)
     lin = jnp.zeros((n,), dtype)
     Q = jnp.zeros((n, rank), dtype)
     qs_sum = jnp.zeros((n,), dtype)
-    for t2, idx in zip(plan.tables, ent_maps):
-        g = _wv_rows(w, V, t2, idx)  # [n, 1+R]
+    for t2, eff2, idx in zip(plan.tables, eff, ent_maps):
+        g, ds = _eff_rows(w, V, t2, eff2, idx)  # [n, 1+R]
         lin = lin + g[:, 0]
         Q = Q + g[:, 1:]
         qs_sum = qs_sum + jnp.sum(g[:, 1:] ** 2, axis=1)
+        if ds is not None:
+            qs_sum = qs_sum + ds
     score = ones * w0 + lin
     if rank:
         score = score + 0.5 * (jnp.sum(Q * Q, axis=1) - qs_sum)
@@ -161,10 +212,11 @@ def score_rows(plan: CategoricalPlan, w0, w, V,
         return m.reshape(nb, row_chunk)
 
     maps = [pad_map(t.ent_main, t.n_cols) for t in plan.tables]
+    eff = eff_tables(plan, w, V)
 
     def block(ms):
         ones = (ms[0] < t0.n_cols).astype(V.dtype)
-        s, _ = _score_parts(plan, w, V, w0, list(ms), ones)
+        s, _ = _score_parts(plan, w, V, w0, list(ms), ones, eff)
         return s
 
     if nb == 1:
@@ -183,49 +235,31 @@ def score_and_q(plan: CategoricalPlan, w0, w, V):
     return _score_parts(plan, w, V, w0, ent_maps, ones)
 
 
-def _table_pass(
+def _build_table_gram(
     plan: CategoricalPlan,
     ti: int,
-    w: jax.Array,  # [F]
-    V: jax.Array,  # [F, R]
+    w: jax.Array,
+    V: jax.Array,
     w0,
-    alpha,
-    lambda_w,
-    mu_w,
-    lambda_V,
-    mu_V,
-    group_index,
-    noise_w,  # [F]
-    noise_V,  # [F, R]
-    tau_tile,  # [NT] latent target in this table's tile order (pad 0)
+    eff,  # per-table effective rows (eff_tables)
+    own_rows: jax.Array,  # [B, 1+R] own per-entity [w|V]
+    own_ds: Optional[jax.Array],  # [B] own QS−Q² correction or None
+    tau_tile: jax.Array,
     cfg: GibbsConfig,
     interpret: bool,
-    want_moments: bool = False,
 ):
-    """One table's w draw + factor scan; returns (w, V, moments).
+    """Per-entity Gram G_u = Σ_{n∈u} z zᵀ, z = [1 | e | φ_other], for
+    table ti — reconstructed chunk-by-chunk from the current weights.
 
-    ``moments`` (when requested — the sweep's last table) is the exact
-    post-draw (Σe, Σe²), computed purely from Gram statistics:
-    with Δ_n = δw_u + Σ_r δ_r φ_rn,
-        Σe'  = Σe + Σ_u [δw card + Σ_r δ_r Sφ_r]
-        Σe'² = Σe² + 2 Σ_u [δw E1 + Σ_r δ_r EQφ⁰_r]
-               + Σ_u [δw² card + 2 δw Σ_r δ_r Sφ_r + δᵀ Gφ δ].
-    """
+    Working set stays O(chunk) instead of O(N): at ML-10M scale the
+    [NT, R]-sized temporaries (phi, z, Q) would otherwise hold ~4 GB
+    live per table and blow out HBM."""
     t = plan.tables[ti]
     rank = V.shape[1]
     D = rank + 2
     K = t.n_tiles
     T = t.tile_rows
     dtype = V.dtype
-
-    w_t = _table_slice(w, t)  # [B]
-    V_t = _table_slice(V, t)  # [B, R]
-    g_t = group_index[t.col_offset : t.col_offset + t.n_cols]  # [B]
-
-    # --- reconstruct (e, phi) chunk-by-chunk and Gram on the fly ------
-    # Working set stays O(chunk) instead of O(N): at ML-10M scale the
-    # [NT, R]-sized temporaries (phi, z, Q) would otherwise hold ~4 GB
-    # live per table and blow out HBM.
     S = t.tile_entities
     Kc = t.chunk_tiles
     n_chunks = -(-K // Kc)
@@ -236,10 +270,13 @@ def _table_pass(
     # own-table weight rows per (tile, slot): tiny ([K, S, 1+R]); the
     # kernel reconstructs the own contribution from these with a
     # one-hot matmul, so own rows are never gathered at [N] scale
-    wv_own = _pad_zero_row(
-        jnp.concatenate([w_t[:, None], V_t], axis=1)
-    )
+    wv_own = _pad_zero_row(own_rows)
     wvsl = wv_own[t.ent_slots]  # [K, S, 1+R]
+    ds_pad = None
+    if own_ds is not None:
+        # the kernel computes the own QS as Ṽ²; fold the per-entity
+        # correction Σ_r(S̃−Ṽ²) into the qs operand via one tile gather
+        ds_pad = _pad_zero_row(own_ds[:, None])
 
     def pad_k(arr, fill, tile_shape):
         flat = arr.reshape((K,) + tile_shape)
@@ -267,7 +304,13 @@ def _table_pass(
         fin_idx=t.fin_idx,
         fin_mask=t.fin_mask,
     )
-    others = [t2 for t2i, t2 in enumerate(plan.tables) if t2i != ti]
+    if ds_pad is not None:
+        xs["ent"] = pad_k(t.ent_of_tile_row, B, (T,))
+    others = [
+        (t2, eff[t2i])
+        for t2i, t2 in enumerate(plan.tables)
+        if t2i != ti
+    ]
 
     def chunk_body(carry, xc):
         gram_carry, G = carry
@@ -278,11 +321,15 @@ def _table_pass(
         lin_o = jnp.zeros((Kc * T,), dtype)
         Q_o = jnp.zeros((Kc * T, rank), dtype)
         qs_o = jnp.zeros((Kc * T,), dtype)
-        for t2, mc in zip(others, xc["cross"]):
-            gth = _wv_rows(w, V, t2, mc.reshape(Kc * T))
+        for (t2, eff2), mc in zip(others, xc["cross"]):
+            gth, ds2 = _eff_rows(w, V, t2, eff2, mc.reshape(Kc * T))
             lin_o = lin_o + gth[:, 0]
             Q_o = Q_o + gth[:, 1:]
             qs_o = qs_o + jnp.sum(gth[:, 1:] ** 2, axis=1)
+            if ds2 is not None:
+                qs_o = qs_o + ds2
+        if ds_pad is not None:
+            qs_o = qs_o + ds_pad[xc["ent"].reshape(Kc * T)][:, 0]
         lin_tau = (
             ones_c * w0 + lin_o - xc["tau"].reshape(Kc * T)
         )
@@ -322,6 +369,52 @@ def _table_pass(
         (_, G), _ = chunk_body(carry0, xc)
     else:
         (_, G), _ = lax.scan(chunk_body, carry0, xs)
+    return G
+
+
+def _table_pass(
+    plan: CategoricalPlan,
+    ti: int,
+    w: jax.Array,  # [F]
+    V: jax.Array,  # [F, R]
+    w0,
+    alpha,
+    lambda_w,
+    mu_w,
+    lambda_V,
+    mu_V,
+    group_index,
+    noise_w,  # [F]
+    noise_V,  # [F, R]
+    tau_tile,  # [NT] latent target in this table's tile order (pad 0)
+    cfg: GibbsConfig,
+    interpret: bool,
+    want_moments: bool = False,
+    eff=None,
+):
+    """One table's w draw + factor scan; returns (w, V, moments).
+
+    ``moments`` (when requested — the sweep's last table) is the exact
+    post-draw (Σe, Σe²), computed purely from Gram statistics:
+    with Δ_n = δw_u + Σ_r δ_r φ_rn,
+        Σe'  = Σe + Σ_u [δw card + Σ_r δ_r Sφ_r]
+        Σe'² = Σe² + 2 Σ_u [δw E1 + Σ_r δ_r EQφ⁰_r]
+               + Σ_u [δw² card + 2 δw Σ_r δ_r Sφ_r + δᵀ Gφ δ].
+    """
+    t = plan.tables[ti]
+    B = t.n_cols
+
+    w_t = _table_slice(w, t)  # [B]
+    V_t = _table_slice(V, t)  # [B, R]
+    g_t = group_index[t.col_offset : t.col_offset + t.n_cols]  # [B]
+    if eff is None:
+        eff = eff_tables(plan, w, V)
+
+    G = _build_table_gram(
+        plan, ti, w, V, w0, eff,
+        jnp.concatenate([w_t[:, None], V_t], axis=1), None,
+        tau_tile, cfg, interpret,
+    )
 
     nw_t = noise_w[t.noise_feat]
     nV_t = noise_V[t.noise_feat]
@@ -483,6 +576,130 @@ def _entity_draws(G, w_t, V_t, g_t, alpha, lambda_w, mu_w, lambda_V,
     return w_new, V_new, parts
 
 
+def _ea_table_pass(
+    plan: CategoricalPlan,
+    ti: int,
+    w: jax.Array,
+    V: jax.Array,
+    w0,
+    alpha,
+    lambda_w,
+    mu_w,
+    lambda_V,
+    mu_V,
+    group_index,
+    noise_w,
+    noise_V,
+    tau_tile,
+    cfg: GibbsConfig,
+    interpret: bool,
+    want_moments: bool = False,
+    eff=None,
+):
+    """Entity+attribute table pass: the side features are drawn with
+    (R+1)-dim joint conditionals per feature, one graph color at a
+    time, entirely in entity space.
+
+    The tile kernel produces the per-entity Gram over z = [1|e|φ_other]
+    (φ_other excludes THIS table).  Converting to Q-space with the
+    current effective factors Ṽ_u (z_Q = [1, e, φ+Ṽ] = M z, so
+    G_Q = M G Mᵀ) yields exactly the per-block-row Gram the joint
+    sweep's dense color machinery consumes (ops/joint.py): per color,
+    draw statistics come from one [D², B] @ [B, 4Pf] matmul, and the
+    e/q effects of the draws evolve the Gram exactly as Ĝ ← T Ĝ Tᵀ —
+    so later colors (and the returned residual moments) see exact
+    post-draw statistics.  Same stationary distribution as the
+    reference's w-then-per-factor coordinate scans over these columns
+    (FMTrainer.hpp:231-314, 379-482): a blocked Gibbs draw of each
+    feature's joint [w_j | V_j] row."""
+    from .joint import _dense_color_step, _update_gram_lanes
+
+    si = plan.side[ti]
+    rank = V.shape[1]
+    D = rank + 2
+    dtype = V.dtype
+    if eff is None:
+        eff = eff_tables(plan, w, V)
+    own = eff[ti]
+    own_rows = own[:, :-1]  # [B, 1+R]
+    own_ds = own[:, -1]
+
+    G = _build_table_gram(
+        plan, ti, w, V, w0, eff, own_rows, own_ds, tau_tile, cfg,
+        interpret,
+    )
+    if cfg.axis_name is not None:
+        # side features couple entities across the whole table, so the
+        # Gram is psum'd whole (no reduce-scatter window for EA); the
+        # color scan below is then replicated — identical draws on
+        # every device
+        G = lax.psum(G, cfg.axis_name)
+
+    # φ→Q conversion: G_Q = M G Mᵀ, M = I + Σ_r Ṽ_r e_{2+r} e₀ᵀ
+    vv = jnp.concatenate(
+        [jnp.zeros((own.shape[0], 2), dtype), own[:, 1:-1]], axis=1
+    )  # [B, D]
+    G = (
+        G
+        + vv[:, :, None] * G[:, 0:1, :]
+        + G[:, :, 0:1] * vv[:, None, :]
+        + (vv[:, :, None] * vv[:, None, :]) * G[:, 0:1, 0:1]
+    )
+    Gf = G.reshape(-1, D * D).T  # flat lanes-major [D², B]
+
+    # per-color pre-gathered operands (features partition across
+    # colors, so weight rows / priors / noise are gathered once)
+    feat = si.stack_feat  # [C, Pf]
+    U = jnp.concatenate([w[:, None], V], axis=1)
+    lam_gu = jnp.concatenate([lambda_w[:, None], lambda_V], axis=1)
+    mu_gu = jnp.concatenate([mu_w[:, None], mu_V], axis=1)
+    xi_all = jnp.concatenate([noise_w[:, None], noise_V], axis=1)
+    gidx = group_index[feat]
+    u0 = U[feat]  # [C, Pf, R+1]
+    lam_s = lam_gu[gidx]
+    mu_s = mu_gu[gidx]
+    xi_s = xi_all[feat]
+
+    def body(Gc, xs):
+        xw, segb, u_old, lam, mu, xi = xs
+        u_new, a0, A_B = _dense_color_step(
+            Gc, xw, segb, u_old, lam, mu, xi, alpha, D
+        )
+        Gc = _update_gram_lanes(Gc, a0, A_B, D)
+        return Gc, u_new
+
+    n_colors = feat.shape[0]
+    if n_colors == 1:
+        Gf, u_new = body(
+            Gf,
+            (si.stack_xw[0], si.stack_segb[0], u0[0], lam_s[0],
+             mu_s[0], xi_s[0]),
+        )
+        u_all = u_new[None]
+    else:
+        Gf, u_all = lax.scan(
+            body, Gf,
+            (si.stack_xw, si.stack_segb, u0, lam_s, mu_s, xi_s),
+            unroll=min(4, n_colors),
+        )
+
+    flat_feat = feat.reshape(-1)
+    u_flat = u_all.reshape(-1, rank + 1)
+    w = w.at[flat_feat].set(
+        u_flat[:, 0], mode="drop", unique_indices=True
+    )
+    V = V.at[flat_feat].set(
+        u_flat[:, 1:], mode="drop", unique_indices=True
+    )
+
+    moments = None
+    if want_moments:
+        # z rows are [1, e, Q]: flat row 1 is Σe per entity, row D+1
+        # is Σe² — exact post-draw values (already global under SPMD)
+        moments = (jnp.sum(Gf[1]), jnp.sum(Gf[D + 1]))
+    return w, V, moments
+
+
 def _row_validity(plan: CategoricalPlan, cfg: GibbsConfig, dtype):
     """SPMD row-validity mask ([n_local], 1.0 on real rows) or None
     single-chip (where no pad rows exist)."""
@@ -578,18 +795,28 @@ def categorical_sweep(
     w, V = core.w, core.V
     n_tables = len(plan.tables)
     moments = None
+    eff = eff_tables(plan, w, V)
     for ti, t in enumerate(plan.tables):
         if cfg.task == TASK_REGRESSION:
             tau_tile = y_tiles[ti]
         else:
             tau_tile = _pad_zero_row(state.tau[:, None])[t.src][:, 0]
-        w, V, moments = _table_pass(
+        pass_fn = (
+            _ea_table_pass if plan.side[ti] is not None else _table_pass
+        )
+        w, V, moments = pass_fn(
             plan, ti, w, V, w0, alpha, lambda_w, mu_w, lambda_V, mu_V,
             plan.group_index, noise_w, noise_V, tau_tile, cfg, interpret,
             want_moments=(
                 cfg.task == TASK_REGRESSION and ti == n_tables - 1
             ),
+            eff=eff,
         )
+        if plan.side[ti] is not None and ti != n_tables - 1:
+            # refresh this table's effective entity rows for the
+            # remaining passes (one small dense matmul per refresh)
+            eff = list(eff)
+            eff[ti] = eff_tables(plan, w, V)[ti]
 
     cutpoints = core.cutpoints
     oprobit_alpha = core.oprobit_alpha

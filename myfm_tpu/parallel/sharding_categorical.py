@@ -39,6 +39,7 @@ from ..design_categorical import (
     CategoricalTable,
     choose_tiling,
     compile_categorical_table,
+    compile_side_info,
     extract_categorical_mappings,
 )
 from ..ops.categorical import (
@@ -57,6 +58,7 @@ def compile_sharded_categorical(
     n_devices: int,
     dtype,
     rank: int,
+    allow_side: bool = False,
 ) -> Optional[Tuple[CategoricalPlan, np.ndarray]]:
     """Per-device fast-path plans stacked on a leading device axis.
 
@@ -64,12 +66,32 @@ def compile_sharded_categorical(
     categorical.  The stacked plan's array leaves all carry a leading
     [n_devices] axis (consumed by shard_map); its static meta is shared:
     per-device row count = ceil(N / n_devices) with the tail masked.
+
+    Entity+attribute tables shard like any other table (their tile
+    layouts cover each device's row slice); the SideInfo payloads are
+    shared (replicated) and are attached to the stacked plan by the
+    caller with replicated partition specs — every device then runs the
+    identical side-color scan on the psum'd global Gram.
     """
     dtype = np.dtype(dtype)
-    extracted = extract_categorical_mappings(X, blocks, grouping, dtype)
+    extracted = extract_categorical_mappings(
+        X, blocks, grouping, dtype, allow_side=allow_side
+    )
     if extracted is None:
         return None
-    mappings, n_rows, n_features, grouping = extracted
+    mappings, side_specs, n_rows, n_features, grouping = extracted
+    # unify: side tables are tiled exactly like one-hot tables (their
+    # entities are the block rows); col_offset is only a label for them
+    mappings = list(mappings) + [
+        (ent, B, int(col_ids[0])) for ent, B, _Xs, col_ids in side_specs
+    ]
+    n_plain = len(mappings) - len(side_specs)
+    side_infos = [
+        compile_side_info(Xs, col_ids, n_features, dtype)
+        for _ent, _B, Xs, col_ids in side_specs
+    ]
+    if any(si is None for si in side_infos):
+        return None
 
     if grouping is None:
         grouping = np.zeros(n_features, dtype=np.int32)
@@ -161,6 +183,11 @@ def compile_sharded_categorical(
     stacked = jax.tree_util.tree_map(
         lambda *leaves: jnp.concatenate(leaves, axis=0), *plans
     )
+    if side_infos:
+        stacked = dataclasses.replace(
+            stacked,
+            side=tuple([None] * n_plain + side_infos),
+        )
     return stacked, n_local
 
 
@@ -190,7 +217,8 @@ class ShardedCategoricalGibbsTrainer:
         self.random_seed = random_seed
 
         compiled = compile_sharded_categorical(
-            X, X_rel, grouping, n_devices, self.dtype, rank
+            X, X_rel, grouping, n_devices, self.dtype, rank,
+            allow_side=bool(cfg.fit_linear),
         )
         if compiled is None:
             raise ValueError(
@@ -211,8 +239,16 @@ class ShardedCategoricalGibbsTrainer:
         else:
             self.y_int = None
 
+        # every plan leaf is row-sharded except the SideInfo payloads,
+        # which are replicated (each device runs the identical side-
+        # color scan on the psum'd global Gram)
         plan_spec = jax.tree_util.tree_map(
-            lambda _: P("data"), self.plan
+            lambda _: P("data"),
+            dataclasses.replace(self.plan, side=()),
+        )
+        plan_spec = dataclasses.replace(
+            plan_spec,
+            side=jax.tree_util.tree_map(lambda _: P(), self.plan.side),
         )
         state_spec = CategoricalState(
             core=GibbsState(
