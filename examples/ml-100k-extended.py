@@ -96,13 +96,16 @@ def main():
     p.add_argument("--strategy", default="joint",
                    choices=("auto", "joint", "serial"))
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--scale", choices=["tiny", "100k"],
+                   default="100k",
+                   help="synthetic dataset size ('tiny' for smoke tests)")
     args = p.parse_args()
 
     man = None
     if args.synthetic:
         from myfm_tpu.utils.benchmark_data import SyntheticMovieLensManager
 
-        sman = SyntheticMovieLensManager("100k", random_seed=42)
+        sman = SyntheticMovieLensManager(args.scale, random_seed=42)
         df_train, df_test = sman.load_rating_kfold_split(
             5, args.fold - 1, 42
         )

@@ -30,12 +30,15 @@ def main():
     p.add_argument("--no-grouping", action="store_true")
     p.add_argument("--synthetic", action="store_true",
                    help="use a synthetic ML-100k-shaped dataset")
+    p.add_argument("--scale", choices=["tiny", "100k"],
+                   default="100k",
+                   help="synthetic dataset size ('tiny' for smoke tests)")
     args = p.parse_args()
 
     if args.synthetic:
         from myfm_tpu.utils.benchmark_data import SyntheticMovieLensManager
 
-        man = SyntheticMovieLensManager("100k", random_seed=42)
+        man = SyntheticMovieLensManager(args.scale, random_seed=42)
         df_train, df_test = man.load_rating_kfold_split(5, args.fold - 1, 42)
     else:
         from myfm_tpu.utils.benchmark_data import MovieLens100kDataManager

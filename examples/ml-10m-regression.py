@@ -33,7 +33,9 @@ def main():
     p.add_argument("-d", "--dimension", type=int, default=128)
     p.add_argument("-f", "--feature", choices=list(FEATURE_SETS),
                    default="timesvdpp_flipped")
-    p.add_argument("--scale", choices=["100k", "1m", "10m"], default="10m")
+    p.add_argument("--scale", choices=["tiny", "100k", "1m", "10m"],
+                   default="10m",
+                   help="'tiny' (synthetic only) is a smoke-test size")
     p.add_argument("--stricter_protocol", action="store_true", default=True)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--seed", type=int, default=42)

@@ -155,6 +155,8 @@ def load_movielens(scale: str, fold: int, synthetic: bool,
 
         man = SyntheticMovieLensManager(scale, random_seed=random_seed)
         return man.load_rating_kfold_split(K, fold, random_seed)
+    if scale == "tiny":
+        raise ValueError("scale='tiny' is synthetic-only (--synthetic).")
     from myfm_tpu.utils.benchmark_data import (
         MovieLens1MDataManager,
         MovieLens10MDataManager,

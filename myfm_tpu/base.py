@@ -257,30 +257,81 @@ class MyFMBase(ABC):
     def _process_y(self, y: np.ndarray) -> np.ndarray:
         return np.asarray(y).astype(np.float64)
 
-    # -- the fit template (reference base.py:207-323) ------------------
+    def _build_mesh(self):
+        """The ('data',) mesh for multi-chip training: the user's
+        ``mesh`` verbatim, else the first ``n_devices`` local devices."""
+        import jax
+        from jax.sharding import Mesh
 
-    def _create_default_callback(
-        self,
-        callback_default_freq: int,
-        do_test: bool,
-        X_test=None,
-        X_rel_test: List[RelationBlock] = [],
-        y_test=None,
-    ):
-        def callback(i, fm, hyper, history):
-            if i % callback_default_freq:
-                return False, None
-            log_str = self._status_report(fm, hyper)
-            if do_test:
-                pred_this = self._prepare_prediction_for_test(
-                    fm, X_test, X_rel_test
-                )
-                val_results = self._measure_score(pred_this, y_test)
-                for key, metric in val_results.items():
-                    log_str += " {}_this: {:.2f}".format(key, metric)
-            return (False, log_str)
+        if self.mesh is not None:
+            return self.mesh
+        devices = jax.devices()
+        if len(devices) < self.n_devices:
+            raise ValueError(
+                f"n_devices={self.n_devices} requested but only "
+                f"{len(devices)} JAX devices are visible."
+            )
+        return Mesh(np.array(devices[: self.n_devices]), ("data",))
 
-        return callback
+    # -- the fit template (same kwargs surface as reference
+    # base.py:207-323; the body is organized around small local
+    # helpers instead of one linear block) ----------------------------
+
+    @staticmethod
+    def _coerce_design(X, X_rel, y, what: str):
+        """Validate (X, X_rel, y) row counts and return X as csr
+        (an empty [n, 0] matrix when the design is blocks-only)."""
+        n_rows = check_data_consistency(X, X_rel)
+        X = (
+            sps.csr_matrix((n_rows, 0), dtype=REAL)
+            if X is None
+            else sps.csr_matrix(X)
+        )
+        if y.shape[0] != n_rows:
+            raise ValueError(
+                f"{what} design has {n_rows} rows but its target has "
+                f"{y.shape[0]} entries."
+            )
+        return X
+
+    def _resolve_iteration_counts(self, n_iter, n_kept_samples):
+        """Typed n_iter/n_kept validation (the reference does this in
+        FMLearningConfig.hpp:48-56); default keeps all but the first 5
+        draws, floored at 5."""
+        if n_iter <= 0:
+            raise ValueError(f"n_iter must be positive; got {n_iter}.")
+        if n_kept_samples is None:
+            return n_iter, min(max(n_iter - 5, 5), n_iter)
+        if n_kept_samples <= 0:
+            raise ValueError(
+                f"n_kept_samples must be positive; got {n_kept_samples}."
+            )
+        if n_kept_samples > n_iter:
+            raise ValueError(
+                f"n_kept_samples ({n_kept_samples}) cannot exceed "
+                f"n_iter ({n_iter})."
+            )
+        return n_iter, n_kept_samples
+
+    def _resolve_grouping(self, builder, n_features, grouping,
+                          group_shapes):
+        """Feature→hyper-group map: explicit per-feature ids, contiguous
+        run lengths (group_shapes), or one shared group."""
+        if grouping is None and group_shapes is not None:
+            grouping = np.repeat(
+                np.arange(len(group_shapes)), group_shapes
+            ).tolist()
+        if grouping is None:
+            self.n_groups_ = 1
+            builder.set_identical_groups(n_features)
+            return
+        if len(grouping) != n_features:
+            raise ValueError(
+                f"grouping has {len(grouping)} entries but the "
+                f"design has {n_features} features."
+            )
+        self.n_groups_ = len(set(grouping))
+        builder.set_group_index(grouping)
 
     def _fit(
         self,
@@ -303,106 +354,65 @@ class MyFMBase(ABC):
         config_builder: Optional[ConfigBuilder] = None,
         callback_default_freq: int = 10,
     ) -> None:
-        if config_builder is None:
-            config_builder = ConfigBuilder()
+        builder = config_builder or ConfigBuilder()
 
-        train_size = check_data_consistency(X, X_rel)
-        if X is None:
-            X = sps.csr_matrix((train_size, 0), dtype=REAL)
-        else:
-            X = sps.csr_matrix(X)
-        if X.shape[0] != y.shape[0]:
-            raise ValueError(
-                f"X has {X.shape[0]} rows but y has {y.shape[0]} "
-                "entries."
-            )
-        dim_all = X.shape[1] + sum(rel.feature_size for rel in X_rel)
+        y = np.asarray(y)
+        X = self._coerce_design(X, X_rel, y, "training")
+        n_features = X.shape[1] + sum(b.feature_size for b in X_rel)
 
-        # n_iter / n_kept_samples sanity: the reference validates these
-        # in FMLearningConfig (FMLearningConfig.hpp:48-56)
-        if n_iter <= 0:
-            raise ValueError(f"n_iter must be positive; got {n_iter}.")
-        if n_kept_samples is None:
-            n_kept_samples = min(max(n_iter - 5, 5), n_iter)
-        elif n_kept_samples <= 0:
-            raise ValueError(
-                f"n_kept_samples must be positive; got {n_kept_samples}."
-            )
-        elif n_iter < n_kept_samples:
-            raise ValueError(
-                f"n_kept_samples ({n_kept_samples}) cannot exceed "
-                f"n_iter ({n_iter})."
-            )
+        n_iter, n_kept_samples = self._resolve_iteration_counts(
+            n_iter, n_kept_samples
+        )
+        self._resolve_grouping(builder, n_features, grouping,
+                               group_shapes)
 
-        for key in [
-            "alpha_0", "beta_0", "gamma_0", "mu_0", "reg_0",
-            "fit_w0", "fit_linear",
-        ]:
-            getattr(config_builder, "set_{}".format(key))(getattr(self, key))
+        # estimator ctor priors flow into the config verbatim
+        for prior in ("alpha_0", "beta_0", "gamma_0", "mu_0", "reg_0",
+                      "fit_w0", "fit_linear"):
+            getattr(builder, f"set_{prior}")(getattr(self, prior))
+        builder.set_n_iter(n_iter).set_n_kept_samples(n_kept_samples)
+        builder.set_task_type(self._task_type)
 
-        if group_shapes is not None and grouping is None:
-            grouping = [
-                i for i, gsize in enumerate(group_shapes)
-                for _ in range(gsize)
-            ]
-        if grouping is None:
-            self.n_groups_ = 1
-            config_builder.set_identical_groups(dim_all)
-        else:
-            if dim_all != len(grouping):
-                raise ValueError(
-                    f"grouping has {len(grouping)} entries but the "
-                    f"design has {dim_all} features."
-                )
-            self.n_groups_ = len(set(grouping))
-            config_builder.set_group_index(grouping)
-
-        if X_test is not None or X_rel_test:
-            if y_test is None:
-                raise RuntimeError(
-                    "Must specify both (X_test or X_rel_test) and y_test."
-                )
-            test_size = check_data_consistency(X_test, X_rel_test)
-            if test_size != y_test.shape[0]:
-                raise ValueError(
-                    f"test design has {test_size} rows but y_test has "
-                    f"{y_test.shape[0]} entries."
-                )
-            if X_test is None:
-                X_test = sps.csr_matrix((test_size, 0), dtype=REAL)
-            else:
-                X_test = sps.csr_matrix(X_test)
-            do_test = True
-        elif y_test is not None:
+        # optional held-out set scored by the default callback
+        have_test_design = X_test is not None or bool(X_rel_test)
+        if have_test_design != (y_test is not None):
             raise RuntimeError(
                 "Must specify both (X_test or X_rel_test) and y_test."
             )
-        else:
-            do_test = False
-
-        config_builder.set_n_iter(n_iter).set_n_kept_samples(n_kept_samples)
-
-        y = self._process_y(y)
-        config_builder.set_task_type(self._task_type)
-
-        if callback is None:
-            callback_not_null = self._create_default_callback(
-                callback_default_freq=callback_default_freq,
-                do_test=do_test,
-                X_test=X_test,
-                X_rel_test=X_rel_test,
-                y_test=y_test,
+        if have_test_design:
+            y_test = np.asarray(y_test)
+            X_test = self._coerce_design(
+                X_test, X_rel_test, y_test, "test"
             )
-        else:
-            callback_not_null = callback
 
-        with tqdm(total=n_iter) as pbar:
+        def default_callback(i, fm, hyper, history):
+            if i % callback_default_freq:
+                return False, None
+            report = self._status_report(fm, hyper)
+            if have_test_design:
+                scores = self._measure_score(
+                    self._prepare_prediction_for_test(
+                        fm, X_test, X_rel_test
+                    ),
+                    y_test,
+                )
+                report += "".join(
+                    f" {name}_this: {value:.2f}"
+                    for name, value in scores.items()
+                )
+            return False, report
 
-            def wrapped_callback(i, fm, hyper, history) -> bool:
-                should_stop, message = callback_not_null(i, fm, hyper, history)
+        user_callback = callback or default_callback
+
+        with tqdm(total=n_iter) as progress:
+
+            def on_iteration(i, fm, hyper, history) -> bool:
+                should_stop, message = user_callback(
+                    i, fm, hyper, history
+                )
                 if message is not None:
-                    pbar.set_description(message)
-                pbar.update(1)
+                    progress.set_description(message)
+                progress.update(1)
                 return should_stop
 
             self.predictor_, self.history_ = self._train_core(
@@ -410,10 +420,10 @@ class MyFMBase(ABC):
                 self.init_stdev,
                 X,
                 X_rel,
-                y,
+                self._process_y(y),
                 self.random_seed,
-                config_builder,
-                wrapped_callback,
+                builder,
+                on_iteration,
             )
 
     def _fetch_predictor(self):

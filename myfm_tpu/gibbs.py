@@ -147,20 +147,6 @@ class MyFMGibbsBase(MyFMBase):
             )
         return trainer.run(config.n_iter, config.n_kept_samples, callback)
 
-    def _build_mesh(self):
-        import jax
-        from jax.sharding import Mesh
-
-        if self.mesh is not None:
-            return self.mesh
-        devices = jax.devices()
-        if len(devices) < self.n_devices:
-            raise ValueError(
-                f"n_devices={self.n_devices} requested but only "
-                f"{len(devices)} JAX devices are visible."
-            )
-        return Mesh(np.array(devices[: self.n_devices]), ("data",))
-
     def _train_core_sharded(
         self, rank, init_stdev, X, X_rel, y, random_seed, config,
         callback,

@@ -213,6 +213,70 @@ def _vi_table_pass(
     else:
         (_, G), _ = lax.scan(chunk_body, carry0, xs)
 
+    wv_t = _table_slice(w_var, t)
+    use_rs = (
+        cfg.axis_name is not None
+        and cfg.gram_reduce_scatter
+        and B % cfg.n_devices == 0
+        and cfg.n_devices > 1
+    )
+    if use_rs:
+        # SPMD, reduce-scatter layout (same scheme as the Gibbs fast
+        # path): each device receives the summed Gram for ITS
+        # contiguous entity window, performs that window's
+        # deterministic CAVI updates, and the four [Bw(,R)] update
+        # results are all-gathered — ~D²/(2+2R)× less ICI traffic
+        # than psum'ing the [B, D, D] Gram (D = 3R+2 here).
+        Bw = B // cfg.n_devices
+        Gw = lax.psum_scatter(
+            G, cfg.axis_name, scatter_dimension=0, tiled=True
+        )
+        idx = lax.axis_index(cfg.axis_name)
+        start = idx * Bw
+
+        def win(a):
+            begin = (start,) + tuple(
+                jnp.zeros((), start.dtype) for _ in range(a.ndim - 1)
+            )
+            return lax.dynamic_slice(a, begin, (Bw,) + a.shape[1:])
+
+        w_new, wv_new, V_new, s_new = _vi_entity_updates(
+            Gw, win(w_t), win(wv_t), win(V_t), win(s_t), win(g_t),
+            alpha, lambda_w, mu_w, lambda_V, mu_V, cfg,
+        )
+        w_new = lax.all_gather(w_new, cfg.axis_name, axis=0, tiled=True)
+        wv_new = lax.all_gather(
+            wv_new, cfg.axis_name, axis=0, tiled=True
+        )
+        V_new = lax.all_gather(V_new, cfg.axis_name, axis=0, tiled=True)
+        s_new = lax.all_gather(s_new, cfg.axis_name, axis=0, tiled=True)
+    else:
+        if cfg.axis_name is not None:
+            # SPMD: per-shard partial Grams sum to the global
+            # statistics; every device then performs the identical
+            # deterministic updates
+            G = lax.psum(G, cfg.axis_name)
+        w_new, wv_new, V_new, s_new = _vi_entity_updates(
+            G, w_t, wv_t, V_t, s_t, g_t,
+            alpha, lambda_w, mu_w, lambda_V, mu_V, cfg,
+        )
+
+    w = lax.dynamic_update_slice(w, w_new, (t.col_offset,))
+    w_var = lax.dynamic_update_slice(w_var, wv_new, (t.col_offset,))
+    V = lax.dynamic_update_slice(V, V_new, (t.col_offset, 0))
+    V_var = lax.dynamic_update_slice(V_var, s_new, (t.col_offset, 0))
+    return w, w_var, V, V_var
+
+
+def _vi_entity_updates(G, w_t, wv_t, V_t, s_t, g_t,
+                       alpha, lambda_w, mu_w, lambda_V, mu_V,
+                       cfg: VariationalConfig):
+    """Per-entity CAVI w update + factor scan from Gram statistics.
+
+    Operates on any contiguous entity window (the full table, or one
+    device's reduce-scatter shard); all operands are window-sliced.
+    Returns (w_new, w_var_new, V_new, V_var_new)."""
+    rank = V_t.shape[1]
     card = G[:, 0, 0]
     E1 = G[:, 0, 1]
     Sphi = G[:, 0, 2 : 2 + rank]  # [B, R]
@@ -231,7 +295,7 @@ def _vi_table_pass(
         dw = w_new - w_t
         EQphi = EQphi + dw[:, None] * Sphi
     else:
-        w_new, wv_new = w_t, _table_slice(w_var, t)
+        w_new, wv_new = w_t, wv_t
 
     if rank:
         C = min(8, rank)
@@ -284,12 +348,7 @@ def _vi_table_pass(
         s_new = jnp.stack(s_new_cols, axis=1)
     else:
         V_new, s_new = V_t, s_t
-
-    w = lax.dynamic_update_slice(w, w_new, (t.col_offset,))
-    w_var = lax.dynamic_update_slice(w_var, wv_new, (t.col_offset,))
-    V = lax.dynamic_update_slice(V, V_new, (t.col_offset, 0))
-    V_var = lax.dynamic_update_slice(V_var, s_new, (t.col_offset, 0))
-    return w, w_var, V, V_var
+    return w_new, wv_new, V_new, s_new
 
 
 def vi_refresh_rows(
@@ -425,12 +484,21 @@ def categorical_vi_sweep(
     n = plan.n_real
     rank = core.V.shape[1]
 
+    # row-sum statistics of the (locally stored) residual; under SPMD
+    # these psum to the global sums while e_var_sum is already stored
+    # as the global scalar (replicated)
+    sum_e = jnp.sum(core.e)
+    sum_e2 = jnp.sum(core.e * core.e)
+    if cfg.axis_name is not None:
+        sum_e = lax.psum(sum_e, cfg.axis_name)
+        sum_e2 = lax.psum(sum_e2, cfg.axis_name)
+
     # α
     if cfg.task == TASK_CLASSIFICATION:
         alpha = jnp.asarray(1.0, dtype)
         alpha_rate = jnp.asarray(1.0, dtype)
     else:
-        e_all = jnp.sum(core.e * core.e) + core.e_var_sum
+        e_all = sum_e2 + core.e_var_sum
         alpha_rate = (cfg.beta_0 + e_all) / 2.0
         alpha = jnp.asarray((cfg.alpha_0 + n) / 2.0, dtype) / alpha_rate
 
@@ -438,7 +506,7 @@ def categorical_vi_sweep(
     w0, w0_var = core.w0, core.w0_var
     if cfg.fit_w0:
         quad = alpha * n + cfg.reg_0
-        lin = alpha * (n * w0 - jnp.sum(core.e))
+        lin = alpha * (n * w0 - sum_e)
         w0 = lin / quad
         w0_var = 1.0 / quad
 
@@ -473,6 +541,14 @@ def categorical_vi_sweep(
     score, e_var_sum = vi_refresh_rows(
         plan, w0, w0_var, w, w_var, V, V_var
     )
+    valid = None
+    if cfg.axis_name is not None:
+        # SPMD pad rows: scores are forced to 0 but the probit
+        # truncated-normal moments of 0 are nonzero — mask the latent
+        # mean/residual and the per-row ELBO term by row validity
+        t0 = plan.tables[0]
+        valid = (t0.ent_main < t0.n_cols).astype(dtype)
+        e_var_sum = lax.psum(e_var_sum, cfg.axis_name)
     tau = state.tau
     elbo = jnp.asarray(0.0, dtype)
     if cfg.task == TASK_REGRESSION:
@@ -484,7 +560,12 @@ def categorical_vi_sweep(
         logz = jnp.where(y > 0, z_l, z_r)
         e = score - mean
         tau = mean
-        elbo = elbo + jnp.sum(logz + 0.5 * (mean - score) ** 2)
+        row_elbo = logz + 0.5 * (mean - score) ** 2
+        if valid is not None:
+            e = e * valid
+            tau = tau * valid
+            row_elbo = row_elbo * valid
+        elbo = elbo + jnp.sum(row_elbo)
     else:
         raise NotImplementedError(
             "Ordered probit for variational FM is not implemented "
@@ -500,9 +581,13 @@ def categorical_vi_sweep(
         lambda_V=lambda_V, lambda_V_rate=lambda_V_rate,
         elbo=jnp.asarray(0.0, dtype),
     )
-    elbo = elbo - alpha * (
-        cfg.beta_0 + jnp.sum(e * e) + e_var_sum
-    ) / 2.0
+    row_sq = jnp.sum(e * e)
+    if cfg.axis_name is not None:
+        # elbo holds only row-local terms at this point; the
+        # weight-space terms below are replicated and added after
+        row_sq = lax.psum(row_sq, cfg.axis_name)
+        elbo = lax.psum(elbo, cfg.axis_name)
+    elbo = elbo - alpha * (cfg.beta_0 + row_sq + e_var_sum) / 2.0
     elbo = _group_elbo_terms(plan, new_core, cfg, elbo)
     new_core = dataclasses.replace(new_core, elbo=elbo)
     return CategoricalVIState(core=new_core, tau=tau)
@@ -517,6 +602,10 @@ def init_categorical_vi_state(
         plan, core.w0, core.w0_var, core.w, core.w_var, core.V,
         core.V_var,
     )
+    if cfg.axis_name is not None:
+        # store the GLOBAL Var(score) sum (replicated scalar); pad
+        # rows are already masked inside vi_refresh_rows
+        e_var_sum = lax.psum(e_var_sum, cfg.axis_name)
     e = score - y
     tau = None
     if cfg.task == TASK_CLASSIFICATION:

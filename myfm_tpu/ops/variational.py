@@ -22,6 +22,7 @@ Update order matches BaseFMTrainer::update_all:
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,14 @@ class VariationalConfig:
     reg_0: float = 1.0
     fit_w0: bool = True
     fit_linear: bool = True
+    # SPMD execution (mirrors GibbsConfig): when axis_name is set the
+    # CAVI sweep runs inside shard_map with rows partitioned over that
+    # mesh axis — per-table Grams and residual statistics are
+    # psum-reduced so every device performs the identical
+    # (deterministic) coordinate updates.
+    axis_name: Optional[str] = None
+    n_devices: int = 1
+    gram_reduce_scatter: bool = True
 
 
 @dataclasses.dataclass
@@ -813,7 +822,10 @@ def vi_init_state(plan: DesignPlan, rank: int, init_stdev: float, key,
         e=jnp.zeros((plan.n_rows,), dtype=dtype),
         e_var_sum=jnp.asarray(0.0, dtype),
         alpha=jnp.asarray(1.0, dtype),
-        alpha_rate=jnp.asarray(plan.n_rows * 0.5, dtype),
+        # global row count under SPMD (n_real == n_rows single-chip)
+        alpha_rate=jnp.asarray(
+            getattr(plan, "n_real", plan.n_rows) * 0.5, dtype
+        ),
         mu_w=jnp.zeros((G,), dtype=dtype),
         mu_w_var=jnp.ones((G,), dtype=dtype),
         lambda_w=jnp.full((G,), 1e-5, dtype=dtype),

@@ -352,3 +352,153 @@ class ShardedCategoricalGibbsTrainer:
             self, n_iter, n_kept_samples, callback, checkpoint_path,
             checkpoint_every, resume, core_of=lambda s: s.core,
         )
+
+
+class ShardedCategoricalVITrainer:
+    """Data-parallel CAVI over a ('data',) device mesh (fast path).
+
+    Same compile/spec machinery as the Gibbs trainer above; CAVI is
+    deterministic, so sharded ≡ single-chip holds exactly (up to float
+    reassociation of the psum'd Gram partials) with no RNG plumbing:
+    per table, each device builds its rows' partial Gram, one
+    psum/psum_scatter per table yields the global statistics, and every
+    device performs the identical coordinate updates.  Inherits the
+    run() contract of vi_trainer.CategoricalVITrainer (Predictor,
+    History with ELBO trace).
+    """
+
+    def __init__(
+        self,
+        X,
+        X_rel: Sequence,
+        y: np.ndarray,
+        cfg,  # VariationalConfig
+        rank: int,
+        init_stdev: float,
+        random_seed: int,
+        mesh: Optional[Mesh] = None,
+        grouping: Optional[np.ndarray] = None,
+        dtype=np.float32,
+    ):
+        from ..ops.categorical_vi import (
+            CategoricalVIState,
+            categorical_vi_sweep,
+            init_categorical_vi_state,
+        )
+        from ..ops.gibbs import TASK_CLASSIFICATION
+        from ..ops.variational import VIState, vi_init_state
+
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+        self.mesh = mesh
+        n_devices = mesh.devices.size
+        self.dtype = np.dtype(dtype)
+        self.rank = rank
+        self.init_stdev = init_stdev
+        self.random_seed = random_seed
+
+        # the VI Gram carries 3R+2 z-columns — tile for that width
+        compiled = compile_sharded_categorical(
+            X, X_rel, grouping, n_devices, self.dtype,
+            max(3 * rank, 1),
+        )
+        if compiled is None:
+            raise ValueError(
+                "Multi-chip variational training requires an "
+                "all-categorical design (every table one-hot per row)."
+            )
+        self.plan, n_local = compiled
+        self.cfg = dataclasses.replace(
+            cfg, axis_name="data", n_devices=n_devices
+        )
+        y_pad = np.zeros(n_local * n_devices, dtype=self.dtype)
+        y_arr = np.asarray(y).astype(self.dtype)
+        y_pad[: y_arr.shape[0]] = y_arr
+        self.y = jnp.asarray(y_pad)
+
+        is_classification = self.cfg.task == TASK_CLASSIFICATION
+        plan_spec = jax.tree_util.tree_map(
+            lambda _: P("data"),
+            dataclasses.replace(self.plan, side=()),
+        )
+        plan_spec = dataclasses.replace(
+            plan_spec,
+            side=jax.tree_util.tree_map(lambda _: P(), self.plan.side),
+        )
+        rep = P()
+        core_spec = VIState(
+            w0=rep, w0_var=rep, w=rep, w_var=rep, V=rep, V_var=rep,
+            e=P("data"), e_var_sum=rep, alpha=rep, alpha_rate=rep,
+            mu_w=rep, mu_w_var=rep, lambda_w=rep, lambda_w_rate=rep,
+            mu_V=rep, mu_V_var=rep, lambda_V=rep, lambda_V_rate=rep,
+            elbo=rep,
+        )
+        state_spec = CategoricalVIState(
+            core=core_spec,
+            tau=(P("data") if is_classification else None),
+        )
+        cfg_static = self.cfg
+        interpret = jax.default_backend() != "tpu"
+        self._interpret = interpret
+
+        def sweep(plan, state, y, y_tiles):
+            return categorical_vi_sweep(
+                plan, state, y, y_tiles, cfg_static, interpret
+            )
+
+        def init(plan, y, key):
+            core = vi_init_state(
+                plan, rank, init_stdev, jax.random.fold_in(key, 0),
+                cfg_static, self.dtype,
+            )
+            return init_categorical_vi_state(plan, core, y, cfg_static)
+
+        y_tiles_spec = tuple(P("data") for _ in self.plan.tables)
+        self._sweep_sharded = jax.jit(
+            _shard_map(
+                sweep,
+                mesh=self.mesh,
+                in_specs=(plan_spec, state_spec, P("data"), y_tiles_spec),
+                out_specs=state_spec,
+                check_vma=False,
+            ),
+            donate_argnums=(1,),
+        )
+        self._init_sharded = jax.jit(
+            _shard_map(
+                init,
+                mesh=self.mesh,
+                in_specs=(plan_spec, P("data"), P()),
+                out_specs=state_spec,
+                check_vma=False,
+            )
+        )
+
+        def tiles(plan, y):
+            return make_y_tiles(plan, y)
+
+        self.y_tiles = jax.jit(
+            _shard_map(
+                tiles,
+                mesh=self.mesh,
+                in_specs=(plan_spec, P("data")),
+                out_specs=y_tiles_spec,
+                check_vma=False,
+            )
+        )(self.plan, self.y)
+
+    def _initialize(self):
+        key = jax.random.PRNGKey(self.random_seed)
+        return self._init_sharded(self.plan, self.y, key)
+
+    def _sweep(self, plan, state, y, y_tiles, cfg, interpret):
+        # seam-compatible with CategoricalVITrainer._sweep (cfg /
+        # interpret are baked into the shard_map closure)
+        return self._sweep_sharded(plan, state, y, y_tiles)
+
+    def run(self, n_iter: int, callback=None):
+        """Identical loop to the single-chip fast-path trainer's
+        (deterministic sweeps with ELBO trace + callback) — delegate."""
+        from ..vi_trainer import CategoricalVITrainer
+
+        return CategoricalVITrainer.run(self, n_iter, callback)

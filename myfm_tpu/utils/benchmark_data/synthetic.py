@@ -18,6 +18,8 @@ import pandas as pd
 from .loader_base import train_test_split_with_kfold
 
 _PRESETS = {
+    # "tiny" is for smoke tests / CI: same schema, seconds to fit
+    "tiny": dict(n_rows=2_000, n_users=60, n_items=40),
     "100k": dict(n_rows=100_000, n_users=943, n_items=1682),
     "1m": dict(n_rows=1_000_209, n_users=6040, n_items=3706),
     "10m": dict(n_rows=10_000_054, n_users=69_878, n_items=10_677),

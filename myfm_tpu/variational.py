@@ -86,13 +86,6 @@ class MyFMVariationalBase(MyFMBase):
         from .ops.variational import VariationalConfig
         from .vi_trainer import CategoricalVITrainer, VariationalTrainer
 
-        if self.mesh is not None or (self.n_devices or 1) > 1:
-            raise NotImplementedError(
-                "Multi-chip (n_devices/mesh) training is implemented "
-                "for the Gibbs estimators; the variational estimators "
-                "run single-chip."
-            )
-
         cfg = VariationalConfig(
             task=config.task_type,
             alpha_0=config.alpha_0,
@@ -103,6 +96,29 @@ class MyFMVariationalBase(MyFMBase):
             fit_w0=config.fit_w0,
             fit_linear=config.fit_linear,
         )
+
+        if self.mesh is not None or (self.n_devices or 1) > 1:
+            # multi-chip SPMD CAVI (fit(..., n_devices=N) / mesh=...):
+            # rows shard over the ('data',) mesh; sharded ≡ single-chip
+            # exactly (deterministic updates on psum'd global Grams,
+            # tests/test_sharded_vi.py)
+            from .parallel.sharding_categorical import (
+                ShardedCategoricalVITrainer,
+            )
+
+            if self.sweep_strategy not in ("auto", "categorical"):
+                raise NotImplementedError(
+                    "Multi-chip variational training runs on the "
+                    "categorical fast path; use sweep_strategy='auto' "
+                    "or 'categorical'."
+                )
+            trainer = ShardedCategoricalVITrainer(
+                X, X_rel, y, cfg, rank, init_stdev, random_seed,
+                mesh=self._build_mesh(),
+                grouping=np.asarray(config.group_index, dtype=np.int32),
+                dtype=self.dtype,
+            )
+            return trainer.run(config.n_iter, callback)
 
         cat_plan = None
         if self.sweep_strategy in ("auto", "categorical"):

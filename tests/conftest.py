@@ -31,6 +31,23 @@ import scipy.sparse as sps
 from .oracle import FMWeights, fm_oracle_score
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _shed_xla_state_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles hundreds of XLA CPU programs in one
+    process; past ~100 live executables the next large compile can
+    segfault inside XLA (observed deterministically at
+    test_sharded.py::test_estimator_n_devices_api when the whole suite
+    runs in one process — any half of the suite passes).  Dropping the
+    jit caches between modules keeps the live-program count bounded;
+    the persistent compilation cache (JAX_COMPILATION_CACHE_DIR above)
+    makes cross-module recompiles cheap.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def stub_weight() -> FMWeights:
     # A small ground-truth FM with known pairwise structure: rank 4 over
