@@ -146,9 +146,10 @@ class LearningHistory:
     # final cumulative MH accept count per cutpoint-group sampler
     # (reference FMTrainer.hpp:83-85 — one entry per sampler)
     n_mh_accept: List[int] = dataclasses.field(default_factory=list)
-    # cumulative accept count recorded every iteration (richer than the
+    # cumulative accept counts recorded every iteration, one list entry
+    # per sweep holding the per-group counts (richer than the
     # reference's single final count; np.diff gives per-sweep accepts)
-    n_mh_accept_trace: List[int] = dataclasses.field(
+    n_mh_accept_trace: List[List[int]] = dataclasses.field(
         default_factory=list
     )
     train_log_losses: List[float] = dataclasses.field(default_factory=list)

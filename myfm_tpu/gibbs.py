@@ -28,6 +28,54 @@ from .relational import RelationBlock
 from .trainer import GibbsTrainer
 
 
+def _encode_ordered_targets(cutpoint_groups, y: np.ndarray):
+    """Class-offset target encoding for multiple cutpoint groups.
+
+    The C++ engine supports one independent cutpoint sampler per group
+    (FMLearningConfig.hpp:15; the trainer ctor validates the groups
+    partition the rows, BaseFMTrainer.hpp:58-105).  The TPU sweeps
+    carry the group membership inside the integer target itself: group
+    g's classes map to [Σ_{j<g} K_j, Σ_{j<g} K_j + K_g), so no per-row
+    group array needs to flow through the jitted programs
+    (ops/oprobit.py recovers membership as a range test).
+
+    With zero or one group the targets pass through unchanged."""
+    if len(cutpoint_groups) <= 1:
+        return y
+    y = np.asarray(y)
+    n = y.shape[0]
+    assigned = np.full(n, -1, dtype=np.int64)
+    y_enc = np.array(y, copy=True)
+    offset = 0
+    for g, (n_class, indices) in enumerate(cutpoint_groups):
+        idx = np.asarray(indices, dtype=np.int64)
+        if idx.size and (idx.min() < 0 or idx.max() >= n):
+            raise ValueError(
+                f"cutpoint group {g} contains row indices outside "
+                f"[0, {n})."
+            )
+        if np.any(assigned[idx] != -1):
+            raise ValueError(
+                f"cutpoint group {g} overlaps an earlier group; the "
+                "groups must partition the rows."
+            )
+        assigned[idx] = g
+        cls = y[idx]
+        if cls.size and (cls.min() < 0 or cls.max() >= n_class):
+            raise ValueError(
+                f"cutpoint group {g} has targets outside "
+                f"[0, {n_class})."
+            )
+        y_enc[idx] = cls + offset
+        offset += n_class
+    if np.any(assigned == -1):
+        raise ValueError(
+            "cutpoint groups must cover every row; "
+            f"{int(np.sum(assigned == -1))} rows are unassigned."
+        )
+    return y_enc
+
+
 class MyFMGibbsBase(MyFMBase):
     @property
     def w0_samples(self) -> Optional[np.ndarray]:
@@ -77,6 +125,7 @@ class MyFMGibbsBase(MyFMBase):
         config: ConfigBuilder,
         callback,
     ):
+        y = _encode_ordered_targets(config.cutpoint_groups, y)
         if self.mesh is not None or (self.n_devices or 1) > 1:
             return self._train_core_sharded(
                 rank, init_stdev, X, X_rel, y, random_seed, config,
@@ -117,9 +166,10 @@ class MyFMGibbsBase(MyFMBase):
                 max_unrolled_colors=self.max_unrolled_colors,
                 joint_dense=self.sweep_strategy == "joint",
             )
-        n_class = 0
-        if config.cutpoint_groups:
-            n_class = config.cutpoint_groups[0][0]
+        n_classes = tuple(
+            int(k) for k, _ in config.cutpoint_groups
+        )
+        n_class = n_classes[0] if n_classes else 0
         cfg = GibbsConfig(
             task=config.task_type,
             alpha_0=config.alpha_0,
@@ -132,6 +182,7 @@ class MyFMGibbsBase(MyFMBase):
             nu_oprobit=config.nu_oprobit,
             cutpoint_scale=config.cutpoint_scale,
             n_class=n_class,
+            n_classes=n_classes,
             joint_rows=self.sweep_strategy == "joint",
         )
         if cat_plan is not None:
@@ -160,9 +211,10 @@ class MyFMGibbsBase(MyFMBase):
         )
 
         mesh = self._build_mesh()
-        n_class = 0
-        if config.cutpoint_groups:
-            n_class = config.cutpoint_groups[0][0]
+        n_classes = tuple(
+            int(k) for k, _ in config.cutpoint_groups
+        )
+        n_class = n_classes[0] if n_classes else 0
         cfg = GibbsConfig(
             task=config.task_type,
             alpha_0=config.alpha_0,
@@ -175,6 +227,7 @@ class MyFMGibbsBase(MyFMBase):
             nu_oprobit=config.nu_oprobit,
             cutpoint_scale=config.cutpoint_scale,
             n_class=n_class,
+            n_classes=n_classes,
             joint_rows=self.sweep_strategy == "joint",
         )
         grouping = np.asarray(config.group_index, dtype=np.int32)
@@ -356,16 +409,27 @@ class MyFMOrderedProbit(MyFMGibbsBase):
             ]
         ] = None,
         callback_default_freq: int = 5,
+        cutpoint_groups: Optional[
+            List[Tuple[int, List[int]]]
+        ] = None,
     ) -> "MyFMOrderedProbit":
+        """Fit the ordinal-probit FM.
+
+        ``cutpoint_groups`` optionally partitions the rows into
+        independent cutpoint samplers, each entry ``(n_class,
+        row_indices)`` — e.g. two ordinal scales sharing one FM.  The
+        C++ engine supports this (FMLearningConfig.hpp:15) though the
+        reference's Python layer always uses the single default group
+        over all rows (reference gibbs.py:429-432)."""
         config_builder = ConfigBuilder()
         y = np.asarray(y)
-        n_class = int(y.max()) + 1
-        # the Python layer always uses one cutpoint group over all rows
-        # (reference gibbs.py:429-432)
-        config_builder.set_cutpoint_groups(
-            [(n_class, list(range(y.shape[0])))]
-        )
-        self.n_cutpoint_groups = 1
+        if cutpoint_groups is None:
+            n_class = int(y.max()) + 1
+            # the default: one cutpoint group over all rows
+            # (reference gibbs.py:429-432)
+            cutpoint_groups = [(n_class, list(range(y.shape[0])))]
+        config_builder.set_cutpoint_groups(cutpoint_groups)
+        self.n_cutpoint_groups = len(cutpoint_groups)
         self._fit(
             X, y, X_rel=X_rel, X_test=X_test, y_test=y_test,
             X_rel_test=X_rel_test, n_iter=n_iter,
@@ -438,9 +502,20 @@ class MyFMOrderedProbit(MyFMGibbsBase):
 
     @property
     def cutpoint_samples(self) -> Optional[np.ndarray]:
-        """Samples for the cutpoints; ``None`` before fit."""
+        """Samples for the first cutpoint group; ``None`` before fit.
+        Use :meth:`get_cutpoint_samples` for other groups."""
+        return self.get_cutpoint_samples(0)
+
+    def get_cutpoint_samples(
+        self, cutpoint_index: int = 0
+    ) -> Optional[np.ndarray]:
+        """Samples for cutpoint group ``cutpoint_index``
+        ([sample, n_class−1]); ``None`` before fit."""
         if self.predictor_ is None:
             return None
         return np.asarray(
-            [fm.cutpoints[0] for fm in self.predictor_.samples]
+            [
+                fm.cutpoints[cutpoint_index]
+                for fm in self.predictor_.samples
+            ]
         )

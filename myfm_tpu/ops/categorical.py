@@ -846,25 +846,20 @@ def categorical_sweep(
             tau = score + t_draw  # latent z
             e = -t_draw
         elif cfg.task == TASK_ORDERED:
-            from .oprobit import (
-                alpha_to_gamma,
-                oprobit_mh_step,
-                sample_z_residual,
-            )
+            from .oprobit import oprobit_groups_update
 
             # k_mh stays COMMON across shards: the MH objective is
             # psum-reduced globally, so every shard takes the identical
             # accept/reject decision on identical proposals
             k_mh, k_z = jax.random.split(k_e)
-            oprobit_alpha, n_mh_accept = oprobit_mh_step(
-                k_mh, score, y, core.oprobit_alpha, core.n_mh_accept,
-                cfg.n_class, cfg.reg_0, float(cfg.nu_oprobit),
-                weight=valid, axis=cfg.axis_name,
-            )
-            cutpoints = alpha_to_gamma(oprobit_alpha)
             u = _sliced_global_uniform(k_z, plan, cfg, dtype)
-            e = sample_z_residual(
-                k_z, score, y, cutpoints, cfg.n_class, u=u
+            oprobit_alpha, cutpoints, n_mh_accept, e = (
+                oprobit_groups_update(
+                    k_mh, k_z, score, y, core.oprobit_alpha,
+                    core.n_mh_accept, cfg.cutpoint_group_classes,
+                    cfg.reg_0, float(cfg.nu_oprobit), weight=valid,
+                    axis=cfg.axis_name, u=u,
+                )
             )
             tau = score - e  # z
         else:  # pragma: no cover

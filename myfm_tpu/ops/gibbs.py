@@ -29,7 +29,7 @@ The update order matches BaseFMTrainer::update_all
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +67,11 @@ class GibbsConfig:
     nu_oprobit: int = 5
     cutpoint_scale: float = 10.0
     n_class: int = 0
+    # class count per cutpoint group (FMLearningConfig.hpp:15
+    # CutpointGroupType); empty = the single group of ``n_class``
+    # classes.  Group g's classes occupy the encoded-target range
+    # [Σ_{j<g} K_j, Σ_{j<g} K_j + K_g) — see ops/oprobit.py.
+    n_classes: Tuple[int, ...] = ()
     axis_name: Optional[str] = None
     n_devices: int = 1
     # sweep_strategy="joint": draw each feature's full extended row
@@ -86,6 +91,13 @@ class GibbsConfig:
     # ~2.6 GB -> ~75 MB per sweep at B=80k, rank 128).  Falls back to
     # the psum when the entity count doesn't divide the mesh.
     gram_reduce_scatter: bool = True
+
+    @property
+    def cutpoint_group_classes(self) -> Tuple[int, ...]:
+        """Static per-group class counts ((n_class,) when ungrouped)."""
+        if self.n_classes:
+            return self.n_classes
+        return (self.n_class,) if self.n_class else ()
 
 
 @dataclasses.dataclass
@@ -854,21 +866,11 @@ def refresh_e(plan: DesignPlan, state: GibbsState, w0, w, V, y, key,
             t = truncated_std_normal_onesided(key, -score, y > 0, u=u)
         return _mask(-t), None, None, None
     elif cfg.task == TASK_ORDERED:
-        from .oprobit import (
-            alpha_to_gamma,
-            oprobit_mh_step,
-            sample_z_residual,
-        )
+        from .oprobit import oprobit_groups_update
 
         # k_mh stays common across shards: the MH objective is globally
         # psum-reduced, so every device takes the identical decision
         k_mh, k_z = jax.random.split(key)
-        alpha_new, acc = oprobit_mh_step(
-            k_mh, score, y, state.oprobit_alpha, state.n_mh_accept,
-            cfg.n_class, cfg.reg_0, float(cfg.nu_oprobit),
-            weight=plan.row_mask, axis=cfg.axis_name,
-        )
-        gamma = alpha_to_gamma(alpha_new)
         u = None
         if cfg.axis_name is not None:
             # global-uniform slice: sharded == single-chip row-for-row
@@ -881,7 +883,12 @@ def refresh_e(plan: DesignPlan, state: GibbsState, w0, w, V, y, key,
             )
             idx = lax.axis_index(cfg.axis_name)
             u = lax.dynamic_slice(u_global, (idx * n_local,), (n_local,))
-        e = sample_z_residual(k_z, score, y, gamma, cfg.n_class, u=u)
+        alpha_new, gamma, acc, e = oprobit_groups_update(
+            k_mh, k_z, score, y, state.oprobit_alpha,
+            state.n_mh_accept, cfg.cutpoint_group_classes, cfg.reg_0,
+            float(cfg.nu_oprobit), weight=plan.row_mask,
+            axis=cfg.axis_name, u=u,
+        )
         return _mask(e), gamma, alpha_new, acc
     raise NotImplementedError(f"refresh_e for task {cfg.task}")
 

@@ -279,6 +279,109 @@ def _init_cutpoints_from_score(score, y, key, n_class, reg,
     return alpha_hat, gamma, e
 
 
+# ---------------------------------------------------------------------------
+# Multiple cutpoint groups
+# ---------------------------------------------------------------------------
+#
+# The C++ engine supports several independent cutpoint samplers, one per
+# CutpointGroupType entry (FMLearningConfig.hpp:15, OProbitSampler.hpp
+# instantiated per group in FMTrainer.hpp:99-119) — e.g. two ordinal
+# questionnaires with different scales sharing one FM.  The TPU layout
+# encodes the group INTO the integer target: group g's classes occupy
+# the offset range [Σ_{j<g} K_j, Σ_{j<g} K_j + K_g), so no per-row group
+# array has to be threaded through the sweeps — membership is recovered
+# as a range test on the encoded y.  Cutpoints/alphas concatenate to
+# single [Σ(K_g−1)] state vectors (static per-group slices); accept
+# counts are a [G] vector matching the reference's per-sampler
+# LearningHistory::n_mh_accept.
+
+
+def oprobit_groups_update(k_mh, k_z, score, y_enc, alpha_cat,
+                          accept_counts, n_classes, reg: float,
+                          nu: float, weight=None, axis=None, u=None):
+    """Per-group MH cutpoint step + latent residual redraw
+    (FMTrainer.hpp:513-521 looped over cutpoint groups).
+
+    ``y_enc`` carries class-offset-encoded targets (see module note);
+    ``n_classes`` is the static tuple of class counts.  Rows outside a
+    group enter its objective with weight 0 and its latent draw is
+    discarded for them, so each row's residual comes exactly from its
+    own group's cutpoints.  The same uniform vector ``u`` (or the same
+    ``k_z``) feeds every group's truncated-normal draw — each row
+    consumes its uniform once, in its own group's inverse CDF.
+
+    Returns (alpha_cat, gamma_cat, accept_counts, e)."""
+    dtype = score.dtype
+    y_enc = y_enc.astype(jnp.int32)
+    e = jnp.zeros_like(score)
+    alphas, gammas, accs = [], [], []
+    yoff = 0
+    aoff = 0
+    for g, K in enumerate(n_classes):
+        y_g = y_enc - yoff
+        in_g = jnp.logical_and(y_g >= 0, y_g < K)
+        m_g = in_g.astype(dtype)
+        if weight is not None:
+            m_g = m_g * weight
+        y_gc = jnp.clip(y_g, 0, K - 1)
+        a_g = alpha_cat[aoff : aoff + K - 1]
+        # distinct MH randomness per group; g=0 uses the caller's key
+        # unchanged so the single-group chain is bit-identical to the
+        # pre-grouping implementation
+        kg = k_mh if g == 0 else jax.random.fold_in(k_mh, g)
+        a_new, acc_new = oprobit_mh_step(
+            kg, score, y_gc, a_g, accept_counts[g], K, reg, nu,
+            weight=m_g, axis=axis,
+        )
+        gamma_g = alpha_to_gamma(a_new)
+        e_g = sample_z_residual(k_z, score, y_gc, gamma_g, K, u=u)
+        e = jnp.where(in_g, e_g, e)
+        alphas.append(a_new)
+        gammas.append(gamma_g)
+        accs.append(acc_new)
+        yoff += K
+        aoff += K - 1
+    return (
+        jnp.concatenate(alphas),
+        jnp.concatenate(gammas),
+        jnp.stack(accs),
+        e,
+    )
+
+
+def init_oprobit_groups(score, y_enc, key, n_classes, reg: float,
+                        weight=None, axis=None, u=None):
+    """Newton MAP cutpoints per group + latent residual draw
+    (the multi-group initialize_e, FMTrainer.hpp:99-119).
+
+    Returns (alpha_cat, gamma_cat, e)."""
+    dtype = score.dtype
+    y_enc = y_enc.astype(jnp.int32)
+    e = jnp.zeros_like(score)
+    alphas, gammas = [], []
+    yoff = 0
+    for g, K in enumerate(n_classes):
+        y_g = y_enc - yoff
+        in_g = jnp.logical_and(y_g >= 0, y_g < K)
+        m_g = in_g.astype(dtype)
+        if weight is not None:
+            m_g = m_g * weight
+        y_gc = jnp.clip(y_g, 0, K - 1)
+        fns = make_objective_fns(score, y_gc, K, reg, m_g, axis)
+        alpha_hat, _ = _newton_minimize(
+            fns, jnp.zeros((K - 1,), dtype)
+        )
+        gamma = alpha_to_gamma(alpha_hat)
+        e_g = sample_z_residual(key, score, y_gc, gamma, K, u=u)
+        e = jnp.where(in_g, e_g, e)
+        alphas.append(alpha_hat)
+        gammas.append(gamma)
+        yoff += K
+    if weight is not None:
+        e = e * weight
+    return jnp.concatenate(alphas), jnp.concatenate(gammas), e
+
+
 def initialize_oprobit_state(plan, state, y_int, cfg, key):
     """Reference initialize_e for ORDERED (FMTrainer.hpp:99-119):
     Newton MAP for the cutpoints from the initial scores, then draw the
@@ -287,20 +390,22 @@ def initialize_oprobit_state(plan, state, y_int, cfg, key):
 
     from .forward import predict_score
 
-    @partial(jax.jit, static_argnames=("n_class", "reg"))
-    def init(state, y, key, n_class, reg):
+    groups = cfg.cutpoint_group_classes
+
+    @partial(jax.jit, static_argnames=("n_classes", "reg"))
+    def init(state, y, key, n_classes, reg):
         score = predict_score(plan, state.w0, state.w, state.V)
-        return _init_cutpoints_from_score(score, y, key, n_class, reg)
+        return init_oprobit_groups(score, y, key, n_classes, reg)
 
     alpha_hat, gamma, e = init(
-        state, y_int, key, cfg.n_class, cfg.reg_0
+        state, y_int, key, groups, cfg.reg_0
     )
     return _dc.replace(
         state,
         e=e,
         cutpoints=gamma,
         oprobit_alpha=alpha_hat,
-        n_mh_accept=jnp.zeros((), jnp.int32),
+        n_mh_accept=jnp.zeros((len(groups),), jnp.int32),
     )
 
 
@@ -310,8 +415,9 @@ def initialize_oprobit_core(score, core, y_int, cfg, key,
     vector (used by the categorical fast path).  Returns (core, e)."""
     import dataclasses as _dc
 
-    alpha_hat, gamma, e = _init_cutpoints_from_score(
-        score, y_int, key, cfg.n_class, cfg.reg_0,
+    groups = cfg.cutpoint_group_classes
+    alpha_hat, gamma, e = init_oprobit_groups(
+        score, y_int, key, groups, cfg.reg_0,
         weight=weight, axis=cfg.axis_name, u=u,
     )
     core = _dc.replace(
@@ -319,6 +425,6 @@ def initialize_oprobit_core(score, core, y_int, cfg, key,
         e=e,
         cutpoints=gamma,
         oprobit_alpha=alpha_hat,
-        n_mh_accept=jnp.zeros((), jnp.int32),
+        n_mh_accept=jnp.zeros((len(groups),), jnp.int32),
     )
     return core, e

@@ -399,9 +399,10 @@ class ShardedGibbsTrainer:
         )
 
         if ordered:
-            from ..ops.oprobit import _init_cutpoints_from_score
+            from ..ops.oprobit import init_oprobit_groups
 
             n_devices_ = n_devices
+            cp_groups = cfg_static.cutpoint_group_classes
 
             def init_ordered(plan, state, y, key):
                 score = predict_score(
@@ -417,14 +418,16 @@ class ShardedGibbsTrainer:
                 u = jax.lax.dynamic_slice(
                     u_global, (idx * n_local,), (n_local,)
                 )
-                alpha_hat, gamma, e = _init_cutpoints_from_score(
-                    score, y, key, cfg_static.n_class, cfg_static.reg_0,
+                alpha_hat, gamma, e = init_oprobit_groups(
+                    score, y, key, cp_groups, cfg_static.reg_0,
                     weight=plan.row_mask, axis="data", u=u,
                 )
                 return dataclasses.replace(
                     state, e=e, cutpoints=gamma,
                     oprobit_alpha=alpha_hat,
-                    n_mh_accept=jnp.zeros((), jnp.int32),
+                    n_mh_accept=jnp.zeros(
+                        (len(cp_groups),), jnp.int32
+                    ),
                 )
 
             self._init_ordered = jax.jit(

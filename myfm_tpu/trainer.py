@@ -36,10 +36,16 @@ from .predictor import Predictor
 
 
 class LazyFMView(FM):
-    """FM view over device state; fetches arrays to host only on access."""
+    """FM view over device state; fetches arrays to host only on access.
 
-    def __init__(self, state: GibbsState):
+    ``cut_groups`` (static per-group class counts) splits the
+    concatenated cutpoint state vector back into the per-group list the
+    FM container exposes (reference FM::cutpoints is one vector per
+    cutpoint group, FM.hpp:137-162)."""
+
+    def __init__(self, state: GibbsState, cut_groups=()):
         self._state = state
+        self._cut_groups = cut_groups
         self._w0 = None
         self._w = None
         self._V = None
@@ -69,7 +75,13 @@ class LazyFMView(FM):
             if self._state.cutpoints is None:
                 self._cutpoints = []
             else:
-                self._cutpoints = [np.asarray(self._state.cutpoints)]
+                cat = np.asarray(self._state.cutpoints)
+                groups = self._cut_groups or (cat.shape[0] + 1,)
+                out, off = [], 0
+                for K in groups:
+                    out.append(cat[off : off + K - 1])
+                    off += K - 1
+                self._cutpoints = out
         return self._cutpoints
 
     def materialize(self) -> FM:
@@ -125,12 +137,18 @@ def run_mcmc_loop(
         key = jax.random.fold_in(master, 1 + it)
         state = trainer._sweep_call(state, key)
         core = core_of(state)
-        view = LazyFMView(core)
+        view = LazyFMView(core, trainer.cfg.cutpoint_group_classes)
         if it + n_kept_samples >= n_iter:
             predictor.samples.append(view.materialize())
         history.hypers.append(_fetch_hyper(core))
         if trainer.cfg.task == TASK_ORDERED:
-            history.n_mh_accept_trace.append(int(core.n_mh_accept))
+            # cumulative accept count per cutpoint-group sampler
+            # (reference FMTrainer.hpp:83-85)
+            history.n_mh_accept_trace.append(
+                [int(c) for c in np.atleast_1d(
+                    np.asarray(core.n_mh_accept)
+                )]
+            )
         if callback is not None:
             if callback(it, view, history.hypers[-1], history):
                 break
@@ -143,7 +161,10 @@ def run_mcmc_loop(
 
     final = core_of(state)
     if trainer.cfg.task == TASK_ORDERED and final.n_mh_accept is not None:
-        history.n_mh_accept = [int(final.n_mh_accept)]
+        history.n_mh_accept = [
+            int(c)
+            for c in np.atleast_1d(np.asarray(final.n_mh_accept))
+        ]
     return predictor, history
 
 

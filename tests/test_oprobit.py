@@ -98,8 +98,11 @@ def test_oprobit_categorical_fast_path():
 
     trace = fm.history_.n_mh_accept_trace
     assert len(trace) == 25
-    assert all(b - a in (0, 1) for a, b in zip(trace, trace[1:]))
-    assert fm.history_.n_mh_accept[0] == trace[-1]
+    assert all(len(t) == 1 for t in trace)  # one cutpoint group
+    assert all(
+        b[0] - a[0] in (0, 1) for a, b in zip(trace, trace[1:])
+    )
+    assert fm.history_.n_mh_accept == trace[-1]
 
     acc = (fm.predict(None, X_rel=blocks) == y).mean()
     assert acc > np.bincount(y).max() / y.shape[0]
