@@ -33,3 +33,22 @@ print(f"fit 200 iters in {elapsed:.1f}s; accuracy={acc:.3f}")
 print("posterior-mean cutpoints:",
       np.asarray(fm.cutpoint_samples).mean(axis=0),
       "(true:", cutpoints, ")")
+
+# -- multiple cutpoint groups ----------------------------------------
+# Two raters discretize the same latent score on different scales; each
+# group gets its own independent cutpoint sampler sharing one FM (a
+# capability of the reference's C++ engine its Python layer never
+# exposed — see docs/ordinal-regression.md).
+even = np.arange(N) % 2 == 0
+y2 = np.where(even, np.digitize(z, cutpoints),
+              np.digitize(z, [0.0]))  # group 1: binary scale
+groups = [(4, np.where(even)[0].tolist()),
+          (2, np.where(~even)[0].tolist())]
+fm2 = MyFMOrderedProbit(rank=0, random_seed=42)
+fm2.fit(X, y2, n_iter=100, n_kept_samples=50, cutpoint_groups=groups)
+print("group 0 cutpoints:",
+      np.round(fm2.get_cutpoint_samples(0).mean(axis=0), 2),
+      "(true:", cutpoints, ")")
+print("group 1 cutpoint:",
+      np.round(fm2.get_cutpoint_samples(1).mean(axis=0), 2),
+      "(true: [0.0] ); accepts per group:", fm2.history_.n_mh_accept)

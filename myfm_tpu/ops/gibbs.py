@@ -85,6 +85,13 @@ class GibbsConfig:
     # (measured: lax.scan costs ~370 us/step at unroll=1 on a v5e but
     # ~37 us/step at unroll>=2; see ops/joint.py)
     joint_unroll: int = 4
+    # run the joint sweep's stacked color tail as ONE Pallas kernel
+    # with the [D², B] Gram resident in VMEM (ops/pallas_joint_tail.py)
+    # instead of a lax.scan: kills the per-color scan machinery and the
+    # HBM round-trips of the Gram carry.  None = auto (TPU + f32);
+    # True/False force; "interpret" runs the kernel in interpret mode
+    # (CPU tests — unrolls the grid, small problems only).
+    joint_pallas_tail: Optional[object] = None
     # SPMD fast path: reduce-scatter each table's [B, D, D] Gram by
     # entity window and all-gather only the [B, 1+R] drawn weights —
     # ~(D²/(1+R))x less ICI traffic than psum'ing the full Gram (e.g.
@@ -943,6 +950,7 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
         w, V, e, q_cache = sweep_joint_u(
             plan, e, w, state.V, alpha, lambda_w, mu_w, lambda_V,
             mu_V, k_v, axis, unroll=cfg.joint_unroll, q=state.q,
+            pallas_tail=cfg.joint_pallas_tail or False,
         )
     elif cfg.joint_rows:
         V, e = sweep_V_joint(

@@ -492,13 +492,18 @@ def _update_gram_lanes(G, a0, A_B, D):
 
 def _joint_u_block_pass_dense(b: BlockPlan, e, q, U, alpha, lam_gu,
                               mu_gu, noise, group_index, axis=None,
-                              unroll=4):
+                              unroll=4, pallas_tail=False):
     """All colors of one block via the dense lanes-major machinery.
 
     Weight rows, priors and noise are pre-gathered per color (features
     partition across colors) so the scan body is gather/scatter-free;
     drawn rows come back through the scan's stacked ys and are written
-    to U with one scatter per stack."""
+    to U with one scatter per stack.
+
+    ``pallas_tail``: run the stacked tail as ONE Pallas kernel with the
+    Gram carry resident in VMEM (ops/pallas_joint_tail.py) instead of a
+    lax.scan — identical math, no per-color dispatch/HBM round-trips.
+    Pass "interpret" to run the kernel in interpret mode (CPU tests)."""
     B = b.block_size
     R = q.shape[1]
     D = R + 2
@@ -532,16 +537,24 @@ def _joint_u_block_pass_dense(b: BlockPlan, e, q, U, alpha, lam_gu,
         ds = b.dense_stack
         u0, lam_s, mu_s, xi_s = pergather(ds.feat)  # [C, Pf, R+1] each
 
-        def body(carry, xs):
-            G_, At_, Ct_ = carry
-            G_, At_, Ct_, u_new = step(G_, At_, Ct_, *xs)
-            return (G_, At_, Ct_), u_new
+        if pallas_tail:
+            from .pallas_joint_tail import joint_tail_pass
 
-        (G, Atot, Ct), u_all = lax.scan(
-            body, (G, Atot, Ct),
-            (ds.xw, ds.segb, u0, lam_s, mu_s, xi_s),
-            unroll=unroll,
-        )
+            G, Atot, Ct, u_all = joint_tail_pass(
+                G, Atot, Ct, ds.xw, ds.segb, u0, lam_s, mu_s, xi_s,
+                alpha, D, interpret=(pallas_tail == "interpret"),
+            )
+        else:
+            def body(carry, xs):
+                G_, At_, Ct_ = carry
+                G_, At_, Ct_, u_new = step(G_, At_, Ct_, *xs)
+                return (G_, At_, Ct_), u_new
+
+            (G, Atot, Ct), u_all = lax.scan(
+                body, (G, Atot, Ct),
+                (ds.xw, ds.segb, u0, lam_s, mu_s, xi_s),
+                unroll=unroll,
+            )
         U = U.at[ds.feat.reshape(-1)].set(
             u_all.reshape(-1, R + 1), mode="drop", unique_indices=True
         )
@@ -553,7 +566,8 @@ def _joint_u_block_pass_dense(b: BlockPlan, e, q, U, alpha, lam_gu,
 
 
 def sweep_joint_u(plan: DesignPlan, e, w, V, alpha, lambda_w, mu_w,
-                  lambda_V, mu_V, key, axis=None, unroll=4, q=None):
+                  lambda_V, mu_V, key, axis=None, unroll=4, q=None,
+                  pallas_tail=False):
     """One merged (w, V) joint pass over all colors of all tables.
 
     Returns (w, V, e, q).  ``q`` (the factor-sum cache) is maintained
@@ -596,7 +610,7 @@ def sweep_joint_u(plan: DesignPlan, e, w, V, alpha, lambda_w, mu_w,
         if b.dense_colors or b.dense_stack is not None:
             e, q, U = _joint_u_block_pass_dense(
                 b, e, q, U, alpha, lam_gu, mu_gu, noise, g, axis,
-                unroll=unroll,
+                unroll=unroll, pallas_tail=pallas_tail,
             )
         else:
             e, q, U = _joint_u_block_pass(

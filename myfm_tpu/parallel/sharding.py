@@ -320,8 +320,11 @@ class ShardedGibbsTrainer:
             strategy=strategy, max_unrolled_colors=max_unrolled_colors,
             joint_dense=cfg.joint_rows,
         )
+        from ..trainer import _resolve_joint_pallas_tail
+
         self.cfg = dataclasses.replace(
-            cfg, axis_name="data", n_devices=n_devices
+            _resolve_joint_pallas_tail(cfg, self.dtype),
+            axis_name="data", n_devices=n_devices,
         )
         n_pad = mask.shape[0]
         y_pad = np.zeros(n_pad, dtype=self.dtype)

@@ -168,6 +168,20 @@ def run_mcmc_loop(
     return predictor, history
 
 
+def _resolve_joint_pallas_tail(cfg: GibbsConfig, dtype) -> GibbsConfig:
+    """Resolve joint_pallas_tail=None (auto) to a concrete choice.
+
+    The in-kernel tail requires the TPU backend and float32 (Mosaic
+    has no f64).  Auto currently resolves to the lax.scan path until
+    the kernel's Mosaic lowering is validated on hardware; force with
+    joint_pallas_tail=True (TPU) or "interpret" (CPU tests)."""
+    import dataclasses
+
+    if cfg.joint_pallas_tail is not None or not cfg.joint_rows:
+        return cfg
+    return dataclasses.replace(cfg, joint_pallas_tail=False)
+
+
 class GibbsTrainer:
     def __init__(
         self,
@@ -180,6 +194,7 @@ class GibbsTrainer:
         dtype=np.float32,
     ):
         self.plan = plan
+        cfg = _resolve_joint_pallas_tail(cfg, dtype)
         self.cfg = cfg
         self.rank = rank
         self.init_stdev = init_stdev
@@ -289,6 +304,7 @@ class CategoricalGibbsTrainer:
         )
 
         self.plan = plan
+        cfg = _resolve_joint_pallas_tail(cfg, dtype)
         self.cfg = cfg
         self.rank = rank
         self.init_stdev = init_stdev
