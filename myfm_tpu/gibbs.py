@@ -480,8 +480,12 @@ class MyFMOrderedProbit(MyFMGibbsBase):
         X: Optional[ArrayLike],
         X_rel: List[RelationBlock] = [],
         n_workers: Optional[int] = None,
+        cutpoint_index: int = 0,
     ) -> np.ndarray:
-        """Per-class probabilities averaged over kept samples [N, K]."""
+        """Per-class probabilities averaged over kept samples [N, K].
+
+        ``cutpoint_index`` selects the cutpoint group whose scale the
+        probabilities are computed on (0, the reference default)."""
         predictor = self._fetch_predictor()
         shape = check_data_consistency(X, X_rel)
         if X is None:
@@ -489,7 +493,7 @@ class MyFMOrderedProbit(MyFMGibbsBase):
         else:
             X = sps.csr_matrix(X)
         return predictor.predict_parallel_oprobit(
-            X, X_rel, n_workers or 1, 0
+            X, X_rel, n_workers or 1, cutpoint_index
         )
 
     def predict(

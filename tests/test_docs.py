@@ -111,6 +111,7 @@ _SETUPS = {
     "relation-blocks.md": _setup_relation_blocks,
     "ordinal-regression.md": _setup_ordinal,
     "movielens.md": lambda: {},
+    "api.md": lambda: {},
 }
 
 
