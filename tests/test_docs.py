@@ -106,12 +106,28 @@ def _setup_ordinal():
     }
 
 
+def _setup_multichip():
+    import myfm_tpu
+
+    df, y = _toy_ratings(n=240, nu=12, ni=9, seed=5)
+    blocks = [
+        myfm_tpu.RelationBlock(
+            df.user_id.values, sps.identity(12, format="csr")
+        ),
+        myfm_tpu.RelationBlock(
+            df.movie_id.values, sps.identity(9, format="csr")
+        ),
+    ]
+    return {"myfm_tpu": myfm_tpu, "y": y, "blocks": blocks}
+
+
 _SETUPS = {
     "quickstart.md": _setup_quickstart,
     "relation-blocks.md": _setup_relation_blocks,
     "ordinal-regression.md": _setup_ordinal,
     "movielens.md": lambda: {},
     "api.md": lambda: {},
+    "multichip.md": _setup_multichip,
 }
 
 
