@@ -100,6 +100,8 @@ def main():
                    default="100k",
                    help="synthetic dataset size ('tiny' for smoke tests)")
     args = p.parse_args()
+    if args.scale == "tiny" and not args.synthetic:
+        p.error("--scale tiny is synthetic-only; add --synthetic")
 
     man = None
     if args.synthetic:

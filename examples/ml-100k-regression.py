@@ -34,6 +34,8 @@ def main():
                    default="100k",
                    help="synthetic dataset size ('tiny' for smoke tests)")
     args = p.parse_args()
+    if args.scale == "tiny" and not args.synthetic:
+        p.error("--scale tiny is synthetic-only; add --synthetic")
 
     if args.synthetic:
         from myfm_tpu.utils.benchmark_data import SyntheticMovieLensManager

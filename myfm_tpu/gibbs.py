@@ -39,8 +39,10 @@ def _encode_ordered_targets(cutpoint_groups, y: np.ndarray):
     group array needs to flow through the jitted programs
     (ops/oprobit.py recovers membership as a range test).
 
-    With zero or one group the targets pass through unchanged."""
-    if len(cutpoint_groups) <= 1:
+    A single group is validated the same way (its row list must cover
+    every row and its targets must lie in [0, n_class)) and passes
+    through with offset 0, i.e. unchanged."""
+    if len(cutpoint_groups) == 0:
         return y
     y = np.asarray(y)
     n = y.shape[0]
@@ -74,6 +76,28 @@ def _encode_ordered_targets(cutpoint_groups, y: np.ndarray):
             f"{int(np.sum(assigned == -1))} rows are unassigned."
         )
     return y_enc
+
+
+def _gibbs_config(config: ConfigBuilder,
+                  sweep_strategy: str) -> GibbsConfig:
+    """One place mapping the builder onto the static sweep config
+    (used by both the single-chip and sharded train cores)."""
+    n_classes = tuple(int(k) for k, _ in config.cutpoint_groups)
+    return GibbsConfig(
+        task=config.task_type,
+        alpha_0=config.alpha_0,
+        beta_0=config.beta_0,
+        gamma_0=config.gamma_0,
+        mu_0=config.mu_0,
+        reg_0=config.reg_0,
+        fit_w0=config.fit_w0,
+        fit_linear=config.fit_linear,
+        nu_oprobit=config.nu_oprobit,
+        cutpoint_scale=config.cutpoint_scale,
+        n_class=n_classes[0] if n_classes else 0,
+        n_classes=n_classes,
+        joint_rows=sweep_strategy == "joint",
+    )
 
 
 class MyFMGibbsBase(MyFMBase):
@@ -166,25 +190,7 @@ class MyFMGibbsBase(MyFMBase):
                 max_unrolled_colors=self.max_unrolled_colors,
                 joint_dense=self.sweep_strategy == "joint",
             )
-        n_classes = tuple(
-            int(k) for k, _ in config.cutpoint_groups
-        )
-        n_class = n_classes[0] if n_classes else 0
-        cfg = GibbsConfig(
-            task=config.task_type,
-            alpha_0=config.alpha_0,
-            beta_0=config.beta_0,
-            gamma_0=config.gamma_0,
-            mu_0=config.mu_0,
-            reg_0=config.reg_0,
-            fit_w0=config.fit_w0,
-            fit_linear=config.fit_linear,
-            nu_oprobit=config.nu_oprobit,
-            cutpoint_scale=config.cutpoint_scale,
-            n_class=n_class,
-            n_classes=n_classes,
-            joint_rows=self.sweep_strategy == "joint",
-        )
+        cfg = _gibbs_config(config, self.sweep_strategy)
         if cat_plan is not None:
             from .trainer import CategoricalGibbsTrainer
 
@@ -211,25 +217,7 @@ class MyFMGibbsBase(MyFMBase):
         )
 
         mesh = self._build_mesh()
-        n_classes = tuple(
-            int(k) for k, _ in config.cutpoint_groups
-        )
-        n_class = n_classes[0] if n_classes else 0
-        cfg = GibbsConfig(
-            task=config.task_type,
-            alpha_0=config.alpha_0,
-            beta_0=config.beta_0,
-            gamma_0=config.gamma_0,
-            mu_0=config.mu_0,
-            reg_0=config.reg_0,
-            fit_w0=config.fit_w0,
-            fit_linear=config.fit_linear,
-            nu_oprobit=config.nu_oprobit,
-            cutpoint_scale=config.cutpoint_scale,
-            n_class=n_class,
-            n_classes=n_classes,
-            joint_rows=self.sweep_strategy == "joint",
-        )
+        cfg = _gibbs_config(config, self.sweep_strategy)
         grouping = np.asarray(config.group_index, dtype=np.int32)
         trainer = None
         if self.sweep_strategy in ("auto", "categorical"):
@@ -500,9 +488,13 @@ class MyFMOrderedProbit(MyFMGibbsBase):
         self,
         X: Optional[ArrayLike],
         X_rel: List[RelationBlock] = [],
+        cutpoint_index: int = 0,
     ) -> np.ndarray:
-        """argmax class prediction."""
-        return self.predict_proba(X, X_rel=X_rel).argmax(axis=1)
+        """argmax class prediction (on cutpoint group
+        ``cutpoint_index``'s scale)."""
+        return self.predict_proba(
+            X, X_rel=X_rel, cutpoint_index=cutpoint_index
+        ).argmax(axis=1)
 
     @property
     def cutpoint_samples(self) -> Optional[np.ndarray]:

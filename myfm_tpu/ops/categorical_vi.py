@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..design_categorical import CategoricalPlan, CategoricalTable
-from .categorical import _pad_zero_row, _table_slice
+from .categorical import _pad_zero_row, _row_validity, _table_slice
 from .gibbs import TASK_CLASSIFICATION, TASK_REGRESSION
 from .pallas_gram import fused_tile_gram
 from .special import (
@@ -541,13 +541,11 @@ def categorical_vi_sweep(
     score, e_var_sum = vi_refresh_rows(
         plan, w0, w0_var, w, w_var, V, V_var
     )
-    valid = None
+    # SPMD pad rows: scores are forced to 0 but the probit
+    # truncated-normal moments of 0 are nonzero — mask the latent
+    # mean/residual and the per-row ELBO term by row validity
+    valid = _row_validity(plan, cfg, dtype)
     if cfg.axis_name is not None:
-        # SPMD pad rows: scores are forced to 0 but the probit
-        # truncated-normal moments of 0 are nonzero — mask the latent
-        # mean/residual and the per-row ELBO term by row validity
-        t0 = plan.tables[0]
-        valid = (t0.ent_main < t0.n_cols).astype(dtype)
         e_var_sum = lax.psum(e_var_sum, cfg.axis_name)
     tau = state.tau
     elbo = jnp.asarray(0.0, dtype)

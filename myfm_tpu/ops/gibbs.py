@@ -88,9 +88,12 @@ class GibbsConfig:
     # run the joint sweep's stacked color tail as ONE Pallas kernel
     # with the [D², B] Gram resident in VMEM (ops/pallas_joint_tail.py)
     # instead of a lax.scan: kills the per-color scan machinery and the
-    # HBM round-trips of the Gram carry.  None = auto (TPU + f32);
-    # True/False force; "interpret" runs the kernel in interpret mode
-    # (CPU tests — unrolls the grid, small problems only).
+    # HBM round-trips of the Gram carry.  None = auto (currently the
+    # scan path, until the Mosaic lowering is hardware-validated —
+    # scripts/bench_joint_tail.py); True forces the kernel (TPU + f32
+    # only, validated at trainer construction); "interpret" runs the
+    # kernel in interpret mode (CPU tests — unrolls the grid, small
+    # problems only).
     joint_pallas_tail: Optional[object] = None
     # SPMD fast path: reduce-scatter each table's [B, D, D] Gram by
     # entity window and all-gather only the [B, 1+R] drawn weights —

@@ -498,7 +498,7 @@ class ShardedCategoricalVITrainer:
 
     def run(self, n_iter: int, callback=None):
         """Identical loop to the single-chip fast-path trainer's
-        (deterministic sweeps with ELBO trace + callback) — delegate."""
-        from ..vi_trainer import CategoricalVITrainer
+        (deterministic sweeps with ELBO trace + callback)."""
+        from ..vi_trainer import run_cavi_loop
 
-        return CategoricalVITrainer.run(self, n_iter, callback)
+        return run_cavi_loop(self, n_iter, callback)

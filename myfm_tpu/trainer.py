@@ -169,17 +169,35 @@ def run_mcmc_loop(
 
 
 def _resolve_joint_pallas_tail(cfg: GibbsConfig, dtype) -> GibbsConfig:
-    """Resolve joint_pallas_tail=None (auto) to a concrete choice.
+    """Resolve/validate the joint_pallas_tail choice.
 
-    The in-kernel tail requires the TPU backend and float32 (Mosaic
-    has no f64).  Auto currently resolves to the lax.scan path until
-    the kernel's Mosaic lowering is validated on hardware; force with
-    joint_pallas_tail=True (TPU) or "interpret" (CPU tests)."""
+    ``True`` (the compiled kernel) requires the TPU backend and
+    float32 — Mosaic has no f64 — and is rejected up front with a
+    clear error otherwise; ``"interpret"`` runs the kernel in
+    interpret mode on any backend (CPU tests; unrolls the grid).
+    ``None`` (auto) currently resolves to the lax.scan path until the
+    kernel's Mosaic lowering is validated on hardware
+    (scripts/bench_joint_tail.py)."""
     import dataclasses
 
-    if cfg.joint_pallas_tail is not None or not cfg.joint_rows:
+    if not cfg.joint_rows:
         return cfg
-    return dataclasses.replace(cfg, joint_pallas_tail=False)
+    if cfg.joint_pallas_tail is None:
+        return dataclasses.replace(cfg, joint_pallas_tail=False)
+    if cfg.joint_pallas_tail is True:
+        if jax.default_backend() != "tpu":
+            raise ValueError(
+                "joint_pallas_tail=True compiles a Mosaic TPU kernel "
+                f"but the active backend is {jax.default_backend()!r};"
+                " use joint_pallas_tail='interpret' off-TPU."
+            )
+        if np.dtype(dtype) != np.float32:
+            raise ValueError(
+                "joint_pallas_tail=True requires float32 (Mosaic has "
+                f"no {np.dtype(dtype).name}); use the lax.scan path "
+                "(joint_pallas_tail=False) for f64."
+            )
+    return cfg
 
 
 class GibbsTrainer:

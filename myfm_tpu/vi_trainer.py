@@ -112,27 +112,44 @@ class CategoricalVITrainer:
         n_iter: int,
         callback: Optional[Callable] = None,
     ) -> Tuple[VariationalPredictor, VariationalLearningHistory]:
-        state = self._initialize()
-        history = VariationalLearningHistory(hypers=None, elbos=[])
-        for it in range(n_iter):
-            state = self._sweep(
-                self.plan, state, self.y, self.y_tiles, self.cfg,
-                self._interpret,
-            )
-            history.elbos.append(float(state.core.elbo))
-            if callback is not None:
-                should_stop = callback(
-                    it, _fetch_vfm(state.core),
-                    _fetch_hyper(state.core), history,
-                )
-                if should_stop:
-                    break
-        history.hypers = _fetch_hyper(state.core)
-        predictor = VariationalPredictor(
-            self.rank, self.plan.n_features, self.cfg.task, self.dtype
+        return run_cavi_loop(self, n_iter, callback)
+
+
+def run_cavi_loop(
+    trainer,
+    n_iter: int,
+    callback: Optional[Callable] = None,
+) -> Tuple[VariationalPredictor, VariationalLearningHistory]:
+    """Shared fast-path CAVI driver (deterministic sweeps, ELBO trace,
+    early-stop callback) — the VI analogue of trainer.run_mcmc_loop.
+
+    ``trainer`` provides ``_initialize()``, a ``_sweep(plan, state, y,
+    y_tiles, cfg, interpret)`` callable, and the ``plan / y / y_tiles /
+    cfg / rank / dtype / _interpret`` attributes; used by the
+    single-chip CategoricalVITrainer and the sharded
+    parallel.sharding_categorical.ShardedCategoricalVITrainer."""
+    state = trainer._initialize()
+    history = VariationalLearningHistory(hypers=None, elbos=[])
+    for it in range(n_iter):
+        state = trainer._sweep(
+            trainer.plan, state, trainer.y, trainer.y_tiles,
+            trainer.cfg, trainer._interpret,
         )
-        predictor.samples.append(_fetch_vfm(state.core))
-        return predictor, history
+        history.elbos.append(float(state.core.elbo))
+        if callback is not None:
+            should_stop = callback(
+                it, _fetch_vfm(state.core),
+                _fetch_hyper(state.core), history,
+            )
+            if should_stop:
+                break
+    history.hypers = _fetch_hyper(state.core)
+    predictor = VariationalPredictor(
+        trainer.rank, trainer.plan.n_features, trainer.cfg.task,
+        trainer.dtype,
+    )
+    predictor.samples.append(_fetch_vfm(state.core))
+    return predictor, history
 
 
 class VariationalTrainer:

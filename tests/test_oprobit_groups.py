@@ -90,6 +90,13 @@ def test_two_group_fast_path():
     assert len(fm.history_.n_mh_accept) == 2
     # cutpoints stay ordered within each group
     assert np.all(np.diff(fm.get_cutpoint_samples(0), axis=1) > 0)
+    # predictions on a chosen group's scale
+    assert fm.predict_proba(
+        None, X_rel=blocks, cutpoint_index=1
+    ).shape == (n, 2)
+    assert fm.predict(
+        None, X_rel=blocks, cutpoint_index=1
+    ).max() <= 1
 
 
 def test_single_group_explicit_equals_default():
@@ -129,3 +136,9 @@ def test_group_validation_errors():
     with pytest.raises(ValueError, match="outside"):
         fm.fit(X, y, n_iter=2,
                cutpoint_groups=[(2, half), (3, rest)])
+    # a SINGLE explicit group is validated too (not silently accepted)
+    with pytest.raises(ValueError, match="cover every row"):
+        fm.fit(X, y, n_iter=2, cutpoint_groups=[(3, half)])
+    with pytest.raises(ValueError, match="outside"):
+        fm.fit(X, y, n_iter=2,
+               cutpoint_groups=[(2, list(range(n)))])
