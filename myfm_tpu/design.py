@@ -48,6 +48,12 @@ def _pad_to(n: int, multiple: int = 8) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+# minimum number of single-entry features in an unrolled dense color
+# before they are split into the identity fast step (DenseColor.id_*);
+# below this the one-hot machinery handles them with no split overhead
+IDENTITY_SPLIT_MIN = 32
+
+
 # ---------------------------------------------------------------------------
 # Pytree plan dataclasses
 # ---------------------------------------------------------------------------
@@ -130,15 +136,31 @@ class DenseColor:
     all per-step work becomes lane-parallel [B]-vector arithmetic and
     tiny one-hot matmuls, with no gathers or scatters in the scan body
     (see ops/joint.py for the measured motivation).
+
+    ``id_xw``/``id_feat`` (optional) carve out the color's
+    *single-entry* features — features touching exactly ONE block row,
+    e.g. the one-hot id columns, which in block space each have a
+    single entry.  For those the per-feature draw statistics are just
+    that row's Gram entries scaled by powers of x, so the step needs
+    no one-hot projection or MXU pass at all (ops/joint.py
+    ``_identity_color_apply``); they are drawn before the remaining
+    ragged features of the color (exact: same-color features are
+    row-disjoint, so their Gram/state updates don't interact).
     """
 
     xw: jax.Array  # [B] float — x value at each block row (0 = absent)
     segb: jax.Array  # [B] int32 — feature slot in `feat` (pad = Pf)
     feat: jax.Array  # [Pf] int32 — global feature ids (pad = F_total)
+    id_xw: Optional[jax.Array] = None  # [B] float — x of the row's
+    #   single-entry feature (0 = none)
+    id_feat: Optional[jax.Array] = None  # [B] int32 — that feature's
+    #   global id (F_total = none)
 
 
 jax.tree_util.register_dataclass(
-    DenseColor, data_fields=["xw", "segb", "feat"], meta_fields=[]
+    DenseColor,
+    data_fields=["xw", "segb", "feat", "id_xw", "id_feat"],
+    meta_fields=[],
 )
 
 
@@ -372,12 +394,35 @@ def _build_dense_colors(
 
     unrolled = groups[:max_unrolled_colors]
     stacked = groups[max_unrolled_colors:]
-    dense_colors = tuple(
-        DenseColor(
-            xw=jnp.asarray(x), segb=jnp.asarray(s), feat=jnp.asarray(f)
+    dense_colors = []
+    for g in unrolled:
+        counts_g = indptr[g + 1] - indptr[g]
+        singles_mask = counts_g == 1
+        id_xw = id_feat = None
+        if int(singles_mask.sum()) >= IDENTITY_SPLIT_MIN:
+            # single-entry features (e.g. one-hot id columns): draw
+            # statistics come straight from their row's Gram entries —
+            # split them out of the one-hot machinery entirely
+            singles = g[singles_mask]
+            g = g[~singles_mask]
+            pos = indptr[singles]
+            srows = indices[pos]
+            id_xw = np.zeros(B, dtype=dtype)
+            id_feat = np.full(B, n_features_total, dtype=np.int32)
+            id_xw[srows] = data[pos]
+            id_feat[srows] = (singles + col_offset).astype(np.int32)
+        x, s, f = one(g)
+        dense_colors.append(
+            DenseColor(
+                xw=jnp.asarray(x), segb=jnp.asarray(s),
+                feat=jnp.asarray(f),
+                id_xw=None if id_xw is None else jnp.asarray(id_xw),
+                id_feat=(
+                    None if id_feat is None else jnp.asarray(id_feat)
+                ),
+            )
         )
-        for x, s, f in (one(g) for g in unrolled)
-    )
+    dense_colors = tuple(dense_colors)
     dense_stack = None
     if stacked:
         pf = _pad_to(max(len(g) for g in stacked))

@@ -490,6 +490,99 @@ def _update_gram_lanes(G, a0, A_B, D):
     return G + corr
 
 
+def _identity_color_apply(dc, G, Atot, Ct, U, alpha, lam_gu, mu_gu,
+                          noise, group_index, D):
+    """Draw a color's single-entry features straight off the Gram.
+
+    Each such feature touches exactly one block row b (one-hot id
+    columns in block space), so its (S, t) statistics are that row's
+    Ĝ entries scaled by powers of x — no one-hot projection, no MXU
+    pass: ~50 lane-parallel [B]-vector ops plus the unrolled batched
+    Cholesky.  Exactness: features of one color are row-disjoint, so
+    drawing the identity subset before the color's ragged remainder
+    produces bit-for-bit the same draws as the combined one-hot step
+    (their Gram/residual updates touch disjoint lanes).
+
+    Returns (G, Atot, Ct, U)."""
+    from .pallas_joint_tail import _chol_solve_sample_lanes
+
+    R = D - 2
+    dtype = G.dtype
+    x = dc.id_xw
+    f = dc.id_feat
+    has = f < U.shape[0]  # F_total marks rows without a feature
+    u_old = U[f]  # [B, R+1]; out-of-range gathers clip (masked below)
+    gidx = group_index[f]
+    lam = lam_gu[gidx]
+    mu = mu_gu[gidx]
+    xi = noise[f]
+
+    x2 = x * x
+    x3 = x2 * x
+    x4 = x2 * x2
+
+    def row(i, j):
+        return G[i * D + j]
+
+    v = [u_old[:, 1 + r] for r in range(R)]
+    g00 = row(0, 0)
+    s3c = x3 * g00
+    Dp = R + 1
+    S = [[None] * Dp for _ in range(Dp)]
+    S[0][0] = x2 * g00
+    for r in range(R):
+        S[0][1 + r] = x2 * row(0, 2 + r) - s3c * v[r]
+        S[1 + r][0] = S[0][1 + r]
+    for r in range(R):
+        for r2 in range(r, R):
+            val = (
+                x2 * row(2 + r, 2 + r2)
+                - v[r] * x3 * row(0, 2 + r2)
+                - x3 * row(0, 2 + r) * v[r2]
+                + x4 * g00 * v[r] * v[r2]
+            )
+            S[1 + r][1 + r2] = val
+            S[1 + r2][1 + r] = val
+    t = [x * row(1, 0)] + [
+        x * row(1, 2 + r) - x2 * row(0, 1) * v[r] for r in range(R)
+    ]
+
+    u0v = [u_old[:, i] for i in range(Dp)]
+    lamv = [lam[:, i] for i in range(Dp)]
+    A = [
+        [
+            alpha * S[i][j] + (lamv[i] if i == j else 0.0)
+            for j in range(Dp)
+        ]
+        for i in range(Dp)
+    ]
+    rhs = []
+    for i in range(Dp):
+        acc = S[i][0] * u0v[0]
+        for j in range(1, Dp):
+            acc = acc + S[i][j] * u0v[j]
+        rhs.append(alpha * (acc - t[i]) + lamv[i] * mu[:, i])
+    eps8 = 8.0 * jnp.finfo(dtype).eps
+    tiny = jnp.finfo(dtype).tiny
+    s = _chol_solve_sample_lanes(
+        A, rhs, [xi[:, i] for i in range(Dp)], eps8, tiny
+    )
+    u_new = jnp.stack(s, axis=1)  # [B, R+1]
+
+    delta = jnp.where(has[:, None], u_new - u_old, 0.0)
+    dv = delta[:, 1:]
+    a0 = x * delta[:, 0] - x2 * jnp.sum(u_old[:, 1:] * dv, axis=1)
+    A_B = (x[:, None] * dv).T  # [R, B]
+    Ct = Ct + a0 + jnp.sum(A_B * Atot, axis=0)
+    Atot = Atot + A_B
+    G = _update_gram_lanes(G, a0, A_B, D)
+    U = U.at[f].set(
+        jnp.where(has[:, None], u_new, u_old),
+        mode="drop", unique_indices=True,
+    )
+    return G, Atot, Ct, U
+
+
 def _joint_u_block_pass_dense(b: BlockPlan, e, q, U, alpha, lam_gu,
                               mu_gu, noise, group_index, axis=None,
                               unroll=4, pallas_tail=False):
@@ -527,6 +620,11 @@ def _joint_u_block_pass_dense(b: BlockPlan, e, q, U, alpha, lam_gu,
         return G, Atot, Ct, u_new
 
     for dc in b.dense_colors:
+        if dc.id_feat is not None:
+            G, Atot, Ct, U = _identity_color_apply(
+                dc, G, Atot, Ct, U, alpha, lam_gu, mu_gu, noise,
+                group_index, D,
+            )
         u_old, lam, mu, xi = pergather(dc.feat)
         G, Atot, Ct, u_new = step(
             G, Atot, Ct, dc.xw, dc.segb, u_old, lam, mu, xi

@@ -253,8 +253,12 @@ def shard_design(
             n_cols=b.n_cols,
             block_size=b.block_size,
             dense_colors=tuple(
-                DenseColor(xw=rep, segb=rep, feat=rep)
-                for _ in b.dense_colors
+                DenseColor(
+                    xw=rep, segb=rep, feat=rep,
+                    id_xw=None if dc.id_xw is None else rep,
+                    id_feat=None if dc.id_feat is None else rep,
+                )
+                for dc in b.dense_colors
             ),
             dense_stack=(
                 None
