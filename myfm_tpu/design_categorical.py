@@ -87,32 +87,63 @@ def _packed_rows(counts: np.ndarray, T: int, S: int) -> int:
     return total
 
 
+# Gram-kernel cost model for choose_tiling.  The kernel's dominant
+# cost is the per-tile MXU matmul A[T, S*Dp]^T @ z[T, D] at HIGHEST
+# precision: cycles ~ ceil(S*Dp/128) * T (the D output dim fits one
+# 128-lane tile for every practical rank), so the per-ROW cost scales
+# with ceil(S*Dp/128) and is independent of T — while the per-tile
+# fixed cost (grid-step + DMA issue) amortizes as 1/T.  Constants
+# calibrated against the measured 13.3 us/tile at (T=1024, S=8,
+# D=34, Dp=40) on v5e; re-calibrate with scripts/microbench_gram.py.
+_GRAM_MXU_NS_PER_ROW_PER_LANE_TILE = 4.0
+# conservative until hardware-calibrated: over-estimating the per-tile
+# cost only suppresses small-T configs (never picks a worse matmul)
+_GRAM_TILE_OVERHEAD_NS = 3000.0
+
+
 def choose_tiling(counts: np.ndarray, T: int, S: int, rank: int = 32):
-    """Pick (T, S) minimizing pad inflation under the kernel's VMEM
-    budget; returns (T, S, inflation)."""
+    """Pick (T, S) minimizing modeled kernel time — MXU lane tiles
+    x pad inflation + per-tile overhead — under the kernel's VMEM
+    budget; returns (T, S, inflation).
+
+    One-hot tables differ hugely in rows-per-entity (ML-10M: items
+    ~930, users ~140, dates ~2000), and a tile spanning few entities
+    needs a much smaller S => fewer A-matrix lane tiles => a
+    proportionally cheaper MXU pass.  Minimizing inflation alone (the
+    round-1/2 heuristic) locked dense tables to S=8, paying ~3x the
+    matmul cost for nothing."""
     n = max(int(counts.sum()), 1)
     Dp = -(-(rank + 2) // 8) * 8  # the kernel's 8-aligned slot stride
     # wide-D kernels also carry [T, R]-sized operands through double
     # buffering, so leave them more headroom
     budget = _A_SCRATCH_BYTES if Dp <= 72 else _A_SCRATCH_BYTES // 2
-    cands = [
-        (2 * T, S), (2 * T, 2 * S), (T, S), (T, 2 * S), (T, 4 * S),
-        (T // 2, S), (T // 2, 2 * S), (T // 2, 4 * S),
-        (T // 4, 4 * S), (T // 4, 8 * S),
-    ]
+    cands = {
+        (Tc, Sc)
+        for Tc in (128, 256, 512, 1024, 2048, 4096)
+        for Sc in (1, 2, 4, 8, 16, 32, 64)
+    }
+    cands.add((T, S))  # caller-provided fallback always considered
     best = None
-    for Tc, Sc in cands:
+    for Tc, Sc in sorted(cands):
         if Tc * Sc * Dp * 4 > budget:
             continue
-        infl = _packed_rows(counts, Tc, Sc) / n
-        if best is None or infl < best[2] - 1e-9:
-            best = (Tc, Sc, infl)
-        if infl <= 1.15:
-            return Tc, Sc, infl
+        packed = _packed_rows(counts, Tc, Sc)
+        infl = packed / n
+        lane_tiles = -(-(Sc * Dp) // 128)
+        # A-build VPU cost: ~3 whole-array ops over [T, S*Dp] at
+        # ~4096 elems/cycle — negligible at S=8, real at S>=32
+        vpu_ns = 3.0 * Sc * Dp / 4096.0 * 1.064
+        ns_per_row = infl * (
+            _GRAM_MXU_NS_PER_ROW_PER_LANE_TILE * lane_tiles
+            + vpu_ns
+            + _GRAM_TILE_OVERHEAD_NS / Tc
+        )
+        if best is None or ns_per_row < best[0] - 1e-12:
+            best = (ns_per_row, Tc, Sc, infl)
     if best is None:  # degenerate: very large D — smallest config
         Tc, Sc = max(T // 4, 128), S
         return Tc, Sc, _packed_rows(counts, Tc, Sc) / n
-    return best
+    return best[1], best[2], best[3]
 
 
 def categorical_mapping(

@@ -263,6 +263,95 @@ def _tail_kernel(
         ct_out_ref[...] = ct_s[...]
 
 
+_HW_CHECK_CACHE: dict = {}
+
+
+def hw_self_check(verbose: bool = True) -> bool:
+    """One-time validation of the Mosaic lowering on the live backend.
+
+    Builds a small deterministic tail problem at production-like dims
+    (D = 12 i.e. rank 10, Pf = 8, B = 256 lanes) and compares the
+    compiled kernel against its own interpret-mode execution (which
+    tests/test_pallas_joint_tail.py pins against the lax.scan path).
+    Returns False — never raises — if the kernel fails to compile,
+    crashes, or mismatches, so the auto gate can fall back to the
+    scan path.  Result is cached per backend for the process."""
+    import sys
+
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    if backend in _HW_CHECK_CACHE:
+        return _HW_CHECK_CACHE[backend]
+    if backend != "tpu":
+        _HW_CHECK_CACHE[backend] = False
+        return False
+
+    import numpy as np
+
+    ok = False
+    try:
+        C, B, Pf, R = 4, 256, 8, 10
+        D = R + 2
+        rng = np.random.RandomState(7)
+        z = rng.normal(size=(4 * B, D)).astype(np.float32)
+        z[:, 0] = 1.0
+        mapper = rng.randint(0, B, 4 * B)
+        G = np.zeros((B, D, D), np.float32)
+        for n in range(4 * B):
+            G[mapper[n]] += np.outer(z[n], z[n])
+        G_flat = jnp.asarray(G.reshape(B, D * D).T.copy())
+        xw = np.zeros((C, B), np.float32)
+        segb = np.full((C, B), Pf, dtype=np.int32)
+        for c in range(C):
+            perm = rng.permutation(B)
+            used = 0
+            for p in range(Pf):
+                k = rng.randint(1, max(2, B // (2 * Pf)))
+                rows = perm[used : used + k]
+                used += k
+                segb[c, rows] = p
+                xw[c, rows] = 1.0 + 0.1 * rng.random(k)
+        u0 = (rng.normal(size=(C, Pf, R + 1)) * 0.3).astype(np.float32)
+        lam = (np.abs(rng.normal(size=(C, Pf, R + 1))) + 0.5).astype(
+            np.float32
+        )
+        mu = (rng.normal(size=(C, Pf, R + 1)) * 0.1).astype(np.float32)
+        xi = rng.normal(size=(C, Pf, R + 1)).astype(np.float32)
+        Atot = (rng.normal(size=(R, B)) * 0.05).astype(np.float32)
+        Ct = (rng.normal(size=(B,)) * 0.05).astype(np.float32)
+        args = (
+            G_flat, jnp.asarray(Atot), jnp.asarray(Ct),
+            jnp.asarray(xw), jnp.asarray(segb), jnp.asarray(u0),
+            jnp.asarray(lam), jnp.asarray(mu), jnp.asarray(xi), 1.3,
+        )
+        got = joint_tail_pass(*args, D=D, interpret=False)
+        want = joint_tail_pass(*args, D=D, interpret=True)
+        ok = all(
+            np.allclose(
+                np.asarray(g), np.asarray(w), rtol=5e-4, atol=5e-4
+            )
+            for g, w in zip(got, want)
+        )
+        if verbose and not ok:
+            print(
+                "myfm_tpu: pallas joint-tail kernel MISMATCHED "
+                "interpret mode on this backend; using lax.scan tail",
+                file=sys.stderr, flush=True,
+            )
+    except Exception as exc:  # Mosaic lowering / runtime failure
+        if verbose:
+            print(
+                "myfm_tpu: pallas joint-tail kernel unavailable "
+                f"({type(exc).__name__}: {exc}); using lax.scan tail",
+                file=sys.stderr, flush=True,
+            )
+        ok = False
+    _HW_CHECK_CACHE[backend] = ok
+    return ok
+
+
 @functools.partial(
     jax.jit, static_argnames=("D", "interpret")
 )

@@ -175,15 +175,22 @@ def _resolve_joint_pallas_tail(cfg: GibbsConfig, dtype) -> GibbsConfig:
     float32 — Mosaic has no f64 — and is rejected up front with a
     clear error otherwise; ``"interpret"`` runs the kernel in
     interpret mode on any backend (CPU tests; unrolls the grid).
-    ``None`` (auto) currently resolves to the lax.scan path until the
-    kernel's Mosaic lowering is validated on hardware
-    (scripts/bench_joint_tail.py)."""
+    ``None`` (auto) self-validates the Mosaic lowering once per
+    process on the live TPU backend (compiled kernel vs interpret
+    mode on a small deterministic problem —
+    ops/pallas_joint_tail.hw_self_check) and enables the kernel only
+    if it matches; anything else falls back to the lax.scan tail."""
     import dataclasses
 
     if not cfg.joint_rows:
         return cfg
     if cfg.joint_pallas_tail is None:
-        return dataclasses.replace(cfg, joint_pallas_tail=False)
+        use = False
+        if np.dtype(dtype) == np.float32:
+            from .ops.pallas_joint_tail import hw_self_check
+
+            use = hw_self_check()
+        return dataclasses.replace(cfg, joint_pallas_tail=use)
     if cfg.joint_pallas_tail is True:
         if jax.default_backend() != "tpu":
             raise ValueError(

@@ -387,3 +387,39 @@ def test_fused_gram_extra_columns_vs_oracle():
         np.asarray(out_base)[:, :Db, :Db],
         rtol=1e-12,
     )
+
+
+def test_choose_tiling_cost_model():
+    """Dense tables (rows-per-entity >> T) must get a small S — the
+    Gram kernel's MXU cost per row scales with ceil(S*Dp/128) — while
+    scattered tables keep pad inflation bounded, and every choice
+    respects the A-scratch VMEM budget."""
+    from myfm_tpu.design_categorical import (
+        _A_SCRATCH_BYTES,
+        choose_tiling,
+        _packed_rows,
+    )
+
+    Dp = 40  # rank 32
+    # items-like: ~930 rows per entity
+    counts = np.full(10_000, 930, dtype=np.int64)
+    T, S, infl = choose_tiling(counts, 1024, 8, rank=32)
+    assert S <= 2, (T, S, infl)
+    assert infl <= 1.3
+    assert T * S * Dp * 4 <= _A_SCRATCH_BYTES
+
+    # scattered: one row per entity — S must grow to keep inflation
+    # sane, and the returned inflation matches the packing exactly
+    counts1 = np.ones(50_000, dtype=np.int64)
+    T1, S1, infl1 = choose_tiling(counts1, 1024, 8, rank=32)
+    assert S1 >= 16, (T1, S1, infl1)
+    assert infl1 == _packed_rows(counts1, T1, S1) / 50_000
+    assert T1 * S1 * Dp * 4 <= _A_SCRATCH_BYTES
+
+    # mixed heavy-tail: never worse than the old default on the model,
+    # and the packing stays exact for whatever was chosen
+    rng = np.random.RandomState(3)
+    counts2 = (rng.pareto(1.2, 5_000) * 50 + 1).astype(np.int64)
+    T2, S2, infl2 = choose_tiling(counts2, 1024, 8, rank=32)
+    n2 = counts2.sum()
+    assert infl2 == _packed_rows(counts2, T2, S2) / n2
