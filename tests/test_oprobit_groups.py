@@ -142,3 +142,55 @@ def test_group_validation_errors():
     with pytest.raises(ValueError, match="outside"):
         fm.fit(X, y, n_iter=2,
                cutpoint_groups=[(2, list(range(n)))])
+
+
+def test_two_group_sharded_equals_single_chip():
+    """Multi-group oprobit under fit(..., n_devices=2): the class-offset
+    encoding plus per-group global MH decisions must reproduce the
+    single-chip chain sample-for-sample (fast path, f64)."""
+    n, nu, ni = 402, 24, 16  # non-divisible rows -> SPMD padding
+    rng = np.random.RandomState(9)
+    u = rng.randint(0, nu, n)
+    i = rng.randint(0, ni, n)
+    score = (
+        0.8 * rng.normal(size=nu)[u] + 0.8 * rng.normal(size=ni)[i]
+    )
+    even = np.arange(n) % 2 == 0
+    y = np.zeros(n, dtype=np.int64)
+    for cp in (-0.5, 0.5):
+        y[even] += (score[even] > cp).astype(np.int64)  # K=3
+    for cp in (0.0,):
+        y[~even] += (score[~even] > cp).astype(np.int64)  # K=2
+    groups = [
+        (3, np.where(even)[0].tolist()),
+        (2, np.where(~even)[0].tolist()),
+    ]
+    blocks = [
+        RelationBlock(u, sps.identity(nu, format="csr")),
+        RelationBlock(i, sps.identity(ni, format="csr")),
+    ]
+
+    fits = {}
+    for n_dev in (1, 2):
+        fm = MyFMOrderedProbit(
+            rank=2, random_seed=7, dtype=np.float64,
+            n_devices=(None if n_dev == 1 else n_dev),
+        )
+        fm.fit(None, y, X_rel=blocks, n_iter=8, n_kept_samples=8,
+               cutpoint_groups=groups)
+        fits[n_dev] = fm
+
+    a, b = fits[1], fits[2]
+    assert len(b.history_.n_mh_accept) == 2
+    np.testing.assert_array_equal(
+        np.asarray(a.history_.n_mh_accept),
+        np.asarray(b.history_.n_mh_accept),
+    )
+    for g in (0, 1):
+        np.testing.assert_allclose(
+            a.get_cutpoint_samples(g), b.get_cutpoint_samples(g),
+            rtol=1e-8, atol=1e-10,
+        )
+    for s1, s2 in zip(a.predictor_.samples, b.predictor_.samples):
+        np.testing.assert_allclose(s1.V, s2.V, rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(s1.w, s2.w, rtol=1e-7, atol=1e-10)
