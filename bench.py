@@ -310,9 +310,13 @@ def _bench_joint_100k(n_timed=20):
     tr = GibbsTrainer(plan, y, cfg, 10, 0.1, 42, np.float32)
     master = jax.random.PRNGKey(42)
     keys = [jax.random.fold_in(master, i) for i in range(n_timed + 2)]
-    it_s = _run_sweeps(tr, plan, tr.y, cfg, n_timed, keys)
+    # tr.cfg, NOT cfg: the trainer resolves joint_pallas_tail=None
+    # (auto) to the validated kernel on TPU — the raw cfg would
+    # silently bench the lax.scan tail
+    it_s = _run_sweeps(tr, plan, tr.y, tr.cfg, n_timed, keys)
     log(f"joint ML-100k timesvdpp rank 10: {it_s:.2f} it/s "
-        f"(reference C++ on real data: 20-22 it/s)")
+        f"(pallas_tail={tr.cfg.joint_pallas_tail}; "
+        f"reference C++ on real data: 20-22 it/s)")
     return round(it_s, 2)
 
 
@@ -333,7 +337,7 @@ def _bench_colored_100k(n_timed=3):
     tr = GibbsTrainer(plan, y, cfg, 10, 0.1, 42, np.float32)
     master = jax.random.PRNGKey(42)
     keys = [jax.random.fold_in(master, i) for i in range(n_timed + 2)]
-    it_s = _run_sweeps(tr, plan, tr.y, cfg, n_timed, keys)
+    it_s = _run_sweeps(tr, plan, tr.y, tr.cfg, n_timed, keys)
     log(f"colored ML-100k timesvdpp rank 10: {it_s:.2f} it/s")
     return round(it_s, 2)
 

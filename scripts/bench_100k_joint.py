@@ -61,6 +61,7 @@ def main(strategy="joint", rank=10, iters=30, unroll=4):
         joint_unroll=unroll,
     )
     tr = GibbsTrainer(plan, y, cfg, rank, 0.1, 42, np.float32)
+    cfg = tr.cfg  # resolved joint_pallas_tail (auto-gate on TPU)
 
     master = jax.random.PRNGKey(42)
     state = tr._initialize(jax.random.fold_in(master, 0))

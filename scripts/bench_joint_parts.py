@@ -70,6 +70,7 @@ def main():
             task="regression", joint_rows=True, joint_unroll=unroll
         )
         tr = GibbsTrainer(plan, y, cfg, rank, 0.1, 42, np.float32)
+        cfg = tr.cfg  # resolved joint_pallas_tail (auto-gate on TPU)
         master = jax.random.PRNGKey(42)
         state = tr._initialize(jax.random.fold_in(master, 0))
 
