@@ -251,7 +251,9 @@ def main():
         ),
     }
     try:
-        detail["joint_100k_timesvdpp_rank10"] = _bench_joint_100k()
+        it_s, sol = _bench_joint_100k()
+        detail["joint_100k_timesvdpp_rank10"] = it_s
+        detail["joint_sol_fraction"] = sol
     except Exception as exc:  # pragma: no cover
         log(f"joint bench failed: {exc!r}")
     try:
@@ -314,10 +316,28 @@ def _bench_joint_100k(n_timed=20):
     # (auto) to the validated kernel on TPU — the raw cfg would
     # silently bench the lax.scan tail
     it_s = _run_sweeps(tr, plan, tr.y, tr.cfg, n_timed, keys)
+
+    # rough speed-of-light for the sequential color chain: per tail
+    # color one [D², B]·[B, 4Pf] MXU dot at HIGHEST (6-pass bf16) plus
+    # ~12 VMEM passes over the [D², B] Gram for the T Ĝ Tᵀ update
+    # (v5e: ~394 TFLOP/s bf16 MXU, ~3 TB/s VMEM); head colors and the
+    # O(N) Gram build are negligible at this scale
+    D = 10 + 2
+    sol_s = 0.0
+    for b in plan.blocks:
+        if b.dense_stack is None:
+            continue
+        C, B = b.dense_stack.xw.shape
+        Pf = b.dense_stack.feat.shape[-1]
+        mxu = 6 * (D * D) * B * (4 * Pf) * 2 / 394e12
+        vmem = 12 * (D * D) * B * 4 / 3e12
+        sol_s += C * (mxu + vmem)
+    sol_frac = round(it_s * sol_s, 3) if sol_s else None
     log(f"joint ML-100k timesvdpp rank 10: {it_s:.2f} it/s "
-        f"(pallas_tail={tr.cfg.joint_pallas_tail}; "
+        f"(pallas_tail={tr.cfg.joint_pallas_tail}, "
+        f"sol_fraction={sol_frac}; "
         f"reference C++ on real data: 20-22 it/s)")
-    return round(it_s, 2)
+    return round(it_s, 2), sol_frac
 
 
 def _bench_colored_100k(n_timed=3):
