@@ -257,6 +257,12 @@ def main():
     except Exception as exc:  # pragma: no cover
         log(f"joint bench failed: {exc!r}")
     try:
+        detail["predict_10m_rank32_rows_per_sec"] = _bench_predict(
+            X, blocks, rank, state
+        )
+    except Exception as exc:  # pragma: no cover
+        log(f"predict bench failed: {exc!r}")
+    try:
         detail["vi_fastpath_10m_rank32"] = _bench_vi(n_rows, rank)
     except Exception as exc:  # pragma: no cover
         log(f"VI bench failed: {exc!r}")
@@ -338,6 +344,43 @@ def _bench_joint_100k(n_timed=20):
         f"sol_fraction={sol_frac}; "
         f"reference C++ on real data: 20-22 it/s)")
     return round(it_s, 2), sol_frac
+
+
+def _bench_predict(X, blocks, rank, state, n_samples=8):
+    """Posterior-averaged serving throughput on the flagship rows —
+    the reference predict_parallel analogue (predictor.hpp:35-76).
+    Scores the full row set once per kept sample (weights perturbed
+    per sample so the axon client cannot elide repeats) and reports
+    rows/s over all samples."""
+    import jax
+
+    from myfm_tpu.design import compile_design
+    from myfm_tpu.ops.forward import predict_score
+
+    t0 = time.time()
+    plan = compile_design(
+        X, blocks, grouping=None, dtype=np.float32,
+        for_training=False,
+    )
+    log(f"inference design compiled in {time.time()-t0:.1f}s")
+    core = getattr(state, "core", state)
+    w0, w, V = core.w0, core.w, core.V
+    n = plan.n_rows
+
+    f = jax.jit(predict_score)
+    acc = f(plan, w0, w, V)
+    float(acc[0])  # compile + sync
+    t0 = time.time()
+    for k in range(n_samples):
+        acc = acc + f(plan, w0 + 1e-6 * (k + 1), w, V)
+    float(acc[0])
+    dt = time.time() - t0
+    rows_per_sec = n_samples * n / dt
+    log(
+        f"predict: {n_samples} samples x {n} rows in {dt:.2f}s -> "
+        f"{rows_per_sec/1e6:.1f}M rows/s"
+    )
+    return round(rows_per_sec, 1)
 
 
 def _bench_colored_100k(n_timed=3):
