@@ -270,6 +270,14 @@ def main():
         detail["colored_100k_timesvdpp_rank10"] = _bench_colored_100k()
     except Exception as exc:  # pragma: no cover
         log(f"colored bench failed: {exc!r}")
+    try:
+        # the reference's true flagship config (ml-10m-regression.py
+        # defaults to rank 128, examples/ml-10m-regression.py:20-274)
+        detail["fastpath_10m_rank128_sweeps_per_sec"] = (
+            _bench_rank128(X, blocks, y, grouping)
+        )
+    except Exception as exc:  # pragma: no cover
+        log(f"rank-128 bench failed: {exc!r}")
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=1)
     log(f"detail: {json.dumps(detail)}")
@@ -344,6 +352,50 @@ def _bench_joint_100k(n_timed=20):
         f"sol_fraction={sol_frac}; "
         f"reference C++ on real data: 20-22 it/s)")
     return round(it_s, 2), sol_frac
+
+
+def _bench_rank128(X, blocks, y, grouping, n_timed=5, rank=128):
+    """The reference's flagship ml-10m config is rank 128 (512 iters);
+    time the fast path there (round 1: 0.63 sweeps/s, ~40x the
+    rows x rank-projected reference)."""
+    import jax
+    import jax.numpy as jnp
+
+    from myfm_tpu.design_categorical import try_compile_categorical
+    from myfm_tpu.ops.gibbs import GibbsConfig
+    from myfm_tpu.trainer import CategoricalGibbsTrainer
+
+    t0 = time.time()
+    plan = try_compile_categorical(
+        X, blocks, np.asarray(grouping, dtype=np.int32), None,
+        np.float32, rank=rank,
+    )
+    if plan is None:  # tiny-scale cardinality profiles miss the gate
+        log("rank-128 bench: fast-path compile declined")
+        return None
+    log(f"rank-128 design compiled in {time.time()-t0:.1f}s")
+    cfg = GibbsConfig(task="regression")
+    trainer = CategoricalGibbsTrainer(
+        plan, y, cfg, rank=rank, init_stdev=0.1, random_seed=42,
+        dtype=np.float32,
+    )
+    master = jax.random.PRNGKey(42)
+    state = trainer._initialize(jax.random.fold_in(master, 0))
+    state = trainer._sweep(
+        plan, state, trainer.y, trainer.y_tiles,
+        jax.random.fold_in(master, 1), cfg, trainer._interpret,
+    )
+    _ = float(jnp.sum(state.core.e))
+    t0 = time.time()
+    for it in range(2, 2 + n_timed):
+        state = trainer._sweep(
+            plan, state, trainer.y, trainer.y_tiles,
+            jax.random.fold_in(master, it), cfg, trainer._interpret,
+        )
+        _ = float(state.core.alpha)
+    sps_128 = n_timed / (time.time() - t0)
+    log(f"fast path 10M rank 128: {sps_128:.3f} sweeps/s")
+    return round(sps_128, 3)
 
 
 def _bench_predict(X, blocks, rank, state, n_samples=8):
