@@ -266,34 +266,38 @@ def _tail_kernel(
 _HW_CHECK_CACHE: dict = {}
 
 
-def hw_self_check(verbose: bool = True) -> bool:
+def hw_self_check(verbose: bool = True, dims=None) -> bool:
     """One-time validation of the Mosaic lowering on the live backend.
 
-    Builds a small deterministic tail problem at production-like dims
-    (D = 12 i.e. rank 10, Pf = 8, B = 256 lanes) and compares the
-    compiled kernel against its own interpret-mode execution (which
+    Builds a small deterministic tail problem and compares the compiled
+    kernel against its own interpret-mode execution (which
     tests/test_pallas_joint_tail.py pins against the lax.scan path).
+    ``dims`` is an optional ``(D, Pf, B)`` triple so callers (the
+    trainer gate) can validate at their PRODUCTION block dims rather
+    than the default stand-in (D = 12 i.e. rank 10, Pf = 8, B = 256)
+    — a lowering that works at one shape is not guaranteed at another.
     Returns False — never raises — if the kernel fails to compile,
     crashes, or mismatches, so the auto gate can fall back to the
-    scan path.  Result is cached per backend for the process."""
+    scan path.  Result is cached per (backend, dims) for the process."""
     import sys
 
     try:
         backend = jax.default_backend()
     except Exception:
         return False
-    if backend in _HW_CHECK_CACHE:
-        return _HW_CHECK_CACHE[backend]
+    cache_key = (backend, tuple(dims) if dims else None)
+    if cache_key in _HW_CHECK_CACHE:
+        return _HW_CHECK_CACHE[cache_key]
     if backend != "tpu":
-        _HW_CHECK_CACHE[backend] = False
+        _HW_CHECK_CACHE[cache_key] = False
         return False
 
     import numpy as np
 
     ok = False
     try:
-        C, B, Pf, R = 4, 256, 8, 10
-        D = R + 2
+        D, Pf, B = dims if dims else (12, 8, 256)
+        C, R = 4, D - 2
         rng = np.random.RandomState(7)
         z = rng.normal(size=(4 * B, D)).astype(np.float32)
         z[:, 0] = 1.0
@@ -348,7 +352,7 @@ def hw_self_check(verbose: bool = True) -> bool:
                 file=sys.stderr, flush=True,
             )
         ok = False
-    _HW_CHECK_CACHE[backend] = ok
+    _HW_CHECK_CACHE[cache_key] = ok
     return ok
 
 

@@ -327,7 +327,7 @@ class ShardedGibbsTrainer:
         from ..trainer import _resolve_joint_pallas_tail
 
         self.cfg = dataclasses.replace(
-            _resolve_joint_pallas_tail(cfg, self.dtype),
+            _resolve_joint_pallas_tail(cfg, self.dtype, self.plan, rank),
             axis_name="data", n_devices=n_devices,
         )
         n_pad = mask.shape[0]

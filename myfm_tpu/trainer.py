@@ -168,7 +168,9 @@ def run_mcmc_loop(
     return predictor, history
 
 
-def _resolve_joint_pallas_tail(cfg: GibbsConfig, dtype) -> GibbsConfig:
+def _resolve_joint_pallas_tail(
+    cfg: GibbsConfig, dtype, plan=None, rank=None
+) -> GibbsConfig:
     """Resolve/validate the joint_pallas_tail choice.
 
     ``True`` (the compiled kernel) requires the TPU backend and
@@ -179,7 +181,10 @@ def _resolve_joint_pallas_tail(cfg: GibbsConfig, dtype) -> GibbsConfig:
     process on the live TPU backend (compiled kernel vs interpret
     mode on a small deterministic problem —
     ops/pallas_joint_tail.hw_self_check) and enables the kernel only
-    if it matches; anything else falls back to the lax.scan tail."""
+    if it matches; anything else falls back to the lax.scan tail.
+    When ``plan``/``rank`` are given, validation runs at the plan's
+    actual tail dims (every distinct (D, Pf, B) of its dense stacks)
+    instead of the generic stand-in problem."""
     import dataclasses
 
     if not cfg.joint_rows:
@@ -189,7 +194,22 @@ def _resolve_joint_pallas_tail(cfg: GibbsConfig, dtype) -> GibbsConfig:
         if np.dtype(dtype) == np.float32:
             from .ops.pallas_joint_tail import hw_self_check
 
-            use = hw_self_check()
+            dims_list = [None]
+            if plan is not None and rank is not None:
+                dims_list = sorted(
+                    {
+                        (
+                            rank + 2,
+                            int(b.dense_stack.feat.shape[-1]),
+                            int(b.dense_stack.xw.shape[-1]),
+                        )
+                        for b in plan.blocks
+                        if b.dense_stack is not None
+                    }
+                ) or []
+            use = bool(dims_list) and all(
+                hw_self_check(dims=d) for d in dims_list
+            )
         return dataclasses.replace(cfg, joint_pallas_tail=use)
     if cfg.joint_pallas_tail is True:
         if jax.default_backend() != "tpu":
@@ -219,7 +239,7 @@ class GibbsTrainer:
         dtype=np.float32,
     ):
         self.plan = plan
-        cfg = _resolve_joint_pallas_tail(cfg, dtype)
+        cfg = _resolve_joint_pallas_tail(cfg, dtype, plan, rank)
         self.cfg = cfg
         self.rank = rank
         self.init_stdev = init_stdev
