@@ -1,5 +1,12 @@
-"""Dataset download/caching base + deterministic K-fold splitting
-(parity with reference utils/benchmark_data/loader_base.py:12-100)."""
+"""Zip-backed benchmark-dataset plumbing.
+
+Covers the reference's loader duties
+(utils/benchmark_data/loader_base.py:12-100): a consent-gated download
+into a well-known cache path, and the deterministic shuffled K-fold
+splitter behind the Rendle ML-10M evaluation protocol.  The split is
+seed-for-seed identical to the reference's (same RandomState shuffle,
+same contiguous fold windows) so published fold RMSEs stay comparable.
+"""
 
 from __future__ import annotations
 
@@ -13,33 +20,52 @@ import numpy as np
 import pandas as pd
 
 
+def _fold_window(n_data: int, K: int, fold: int) -> Tuple[int, int]:
+    """[start, end) of fold ``fold`` in a length-``n_data`` sequence cut
+    into K nearly-equal contiguous windows (earlier folds absorb the
+    remainder, so sizes differ by at most one)."""
+    sizes = np.full(K, n_data // K, dtype=np.int64)
+    sizes[: n_data % K] += 1
+    bounds = np.concatenate([[0], np.cumsum(sizes)])
+    return int(bounds[fold]), int(bounds[fold + 1])
+
+
 def train_test_split_with_kfold(
     df: pd.DataFrame,
     K: int,
     fold: int,
     random_state: Optional[int] = None,
 ) -> Tuple[pd.DataFrame, pd.DataFrame]:
-    """Deterministic shuffled K-fold split; fold sizes differ by at most
-    one row, earlier folds take the remainder."""
+    """(train, test) for one fold of a deterministic shuffled K-fold."""
     if not (0 <= fold < K):
         raise ValueError("0 <= fold < K")
-    rng = np.random.RandomState(random_state)
-    n_data = df.shape[0]
-    n_test = n_data // K + (1 if fold < (n_data % K) else 0)
-    index = np.arange(n_data)
-    rng.shuffle(index)
-    df = df.iloc[index]
-    start = (n_data // K) * fold + min(n_data % K, fold)
-    end = start + n_test
-    train = pd.concat([df.iloc[:start], df.iloc[end:]]).reset_index(
-        drop=True
+    order = np.arange(len(df))
+    np.random.RandomState(random_state).shuffle(order)
+    start, end = _fold_window(len(df), K, fold)
+    in_test = np.zeros(len(df), dtype=bool)
+    in_test[start:end] = True
+    shuffled = df.iloc[order]
+    return (
+        shuffled.iloc[~in_test].reset_index(drop=True),
+        shuffled.iloc[in_test].reset_index(drop=True),
     )
-    test = df.iloc[start:end].reset_index(drop=True)
-    return train, test
+
+
+def _fetch_with_consent(url: str, dest: Path) -> None:
+    """Ask on stdin before touching the network; refusal aborts."""
+    answer = input(
+        f"Could not find {dest}.\n"
+        f"Can I download and save it there?[y/N]"
+    )
+    if answer.lower() != "y":
+        raise RuntimeError("abort.")
+    print("start download...")
+    urllib.request.urlretrieve(url, dest)
+    print("complete")
 
 
 class DataLoaderBase(ABC):
-    """Zip-backed dataset loader with consent-gated download."""
+    """Opens (downloading on consent if absent) the dataset zip."""
 
     zf: ZipFile
 
@@ -56,16 +82,7 @@ class DataLoaderBase(ABC):
     def __init__(self, zippath: Optional[Path] = None):
         zippath = Path(zippath or self.DEFAULT_PATH)
         if not zippath.exists():
-            permission = input(
-                "Could not find {}.\nCan I download and save it there?[y/N]"
-                .format(zippath)
-            ).lower()
-            if permission == "y":
-                print("start download...")
-                urllib.request.urlretrieve(self.DOWNLOAD_URL, zippath)
-                print("complete")
-            else:
-                raise RuntimeError("abort.")
+            _fetch_with_consent(self.DOWNLOAD_URL, zippath)
         self.zf = ZipFile(zippath)
 
 
@@ -77,8 +94,8 @@ class MovieLensBase(DataLoaderBase, ABC):
     def load_rating_kfold_split(
         self, K: int, fold: int, random_state: Optional[int] = 0
     ) -> Tuple[pd.DataFrame, pd.DataFrame]:
-        """Load all ratings, return the (train, test) of fold ``fold``
-        of a K-fold split (the Rendle ML-10M evaluation protocol)."""
+        """Load every rating and return fold ``fold`` of the K-fold
+        split (the protocol behind the committed benchmark numbers)."""
         if not (0 <= fold < K):
             raise ValueError("0 <= fold < K")
         return train_test_split_with_kfold(
