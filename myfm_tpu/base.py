@@ -160,15 +160,20 @@ class MyFMBase(ABC):
             On-device compute precision (default float32; the reference
             is float64-only on CPU).
         sweep_strategy:
-            "auto" → chromatic (colored) parallel Gibbs sweep, with
-            the entity-space fast path when every table is one-hot;
+            "auto" → the fastest exact engine for the design: the
+            entity-space fast path when every table is one-hot (or
+            [one-hot | side-feature] within the EA gates), else the
+            merged joint-row sweep when rank and the dense color
+            machinery allow it, else the chromatic (colored) sweep;
             "serial" → one feature per color, the faithful analogue of
             the reference's sequential scan (same chain up to float
             reassociation, used as a parity oracle in tests);
+            "colored" → force the chromatic per-coordinate sweep (the
+            engine that reproduces "serial" sample-for-sample);
             "categorical" → require the entity-space fast path;
-            "joint" → colored sweep drawing full factor rows from
-            their exact R-dim Gaussian conditionals (valid Gibbs
-            blocking, one pass over the colors instead of R).
+            "joint" → colored sweep drawing each feature's [w_j | V_j]
+            row from its exact (R+1)-dim Gaussian conditional (valid
+            Gibbs blocking, one pass over the colors instead of R+1).
         max_unrolled_colors:
             Colors beyond this many per table execute via lax.scan
             instead of being unrolled into the XLA program.
@@ -180,11 +185,12 @@ class MyFMBase(ABC):
             the single-chip chain sample-for-sample.  Gibbs estimators
             only (the reference has no distributed path at all).
         """
-        if sweep_strategy not in ("auto", "serial", "categorical",
-                                  "joint"):
+        if sweep_strategy not in ("auto", "serial", "colored",
+                                  "categorical", "joint"):
             raise ValueError(
                 "sweep_strategy must be one of 'auto', 'serial', "
-                f"'categorical', 'joint'; got {sweep_strategy!r}."
+                "'colored', 'categorical', 'joint'; got "
+                f"{sweep_strategy!r}."
             )
         self.rank = rank
         self.init_stdev = init_stdev

@@ -258,6 +258,54 @@ jax.tree_util.register_dataclass(
 # ---------------------------------------------------------------------------
 
 
+# sweep_strategy="auto" upgrades to the merged joint-row sweep only up
+# to this rank: the hand-unrolled (R+1)-dim Cholesky draw is ~(R+1)³/6
+# vector ops per color step, which is fast at the reference's blocked
+# configs (rank ≤ 10 ⇒ ~10² ops) but balloons the program (and the
+# compile) at the rank-32/128 flagship scales — those designs are
+# one-hot and take the entity-space fast path anyway.
+JOINT_AUTO_MAX_RANK = 16
+
+
+def joint_auto_eligible(
+    plan: "DesignPlan", rank: int, dtype=np.float32
+) -> bool:
+    """Whether "auto" should run the merged joint sweep on this plan.
+
+    True when the rank is within JOINT_AUTO_MAX_RANK, every block got
+    dense color operands (compiled with ``joint_dense=True`` inside the
+    C×B budget) — the regime where the joint sweep is measured 10-25×
+    the chromatic sweep — and, under float32, every hyper-group is
+    large enough to identify its λ draws tightly.  Tiny groups (a
+    handful of features sharing one Gamma prior) give λ a heavy
+    posterior tail; during a λ→small excursion the scores inflate and
+    the joint draw's Gram-assembled statistics lose their
+    null-direction information to absolute float32 roundoff — observed
+    as a runaway chain on a 3-feature stub.  The per-coordinate colored
+    sweep assembles every statistic row-wise (relative error only) and
+    rides out the same excursions, so it stays the fallback there.
+    float64 joint is robust at any group size.
+
+    All gates depend only on (rank, dtype, block shapes, grouping), so
+    blocked and flattened representations of the same design resolve
+    to the same engine and the reference's blocked ≡ flattened sample
+    contract is preserved under "auto"."""
+    if rank > JOINT_AUTO_MAX_RANK:
+        return False
+    if not all(
+        b.dense_colors or b.dense_stack is not None
+        for b in plan.blocks
+        if b.n_cols > 0
+    ):
+        return False
+    if np.dtype(dtype) == np.float64:
+        return True
+    counts = np.asarray(plan.group_counts)
+    return counts.size > 0 and float(counts.min()) >= max(
+        16, 4 * (rank + 2)
+    )
+
+
 def greedy_color(csc: sps.csc_matrix) -> List[np.ndarray]:
     """Partition columns into row-disjoint sets (a valid coloring).
 

@@ -170,6 +170,7 @@ class MyFMGibbsBase(MyFMBase):
                 # the entity+attribute extension needs the linear terms
                 allow_side=bool(config.fit_linear),
             )
+        use_joint = self.sweep_strategy == "joint"
         if cat_plan is None:
             if self.sweep_strategy == "categorical":
                 raise ValueError(
@@ -178,19 +179,37 @@ class MyFMGibbsBase(MyFMBase):
                     "block of [one-hot | per-entity side-feature] "
                     "column groups within the entity+attribute gates."
                 )
+            from .design import JOINT_AUTO_MAX_RANK, joint_auto_eligible
+
+            # "auto" prefers the merged joint sweep (one pass over the
+            # colors drawing exact (R+1)-dim rows; 10-25x the chromatic
+            # sweep on relational designs) when the rank and dense
+            # machinery gates allow it
+            want_joint = use_joint or (
+                self.sweep_strategy == "auto"
+                and bool(config.fit_linear)
+                and rank <= JOINT_AUTO_MAX_RANK
+            )
             plan = compile_design(
                 X,
                 X_rel,
                 grouping=np.asarray(config.group_index, dtype=np.int32),
                 dtype=self.dtype,
                 strategy=(
-                    "auto" if self.sweep_strategy == "joint"
+                    "auto"
+                    if self.sweep_strategy in ("joint", "colored")
                     else self.sweep_strategy
                 ),
                 max_unrolled_colors=self.max_unrolled_colors,
-                joint_dense=self.sweep_strategy == "joint",
+                joint_dense=want_joint,
             )
-        cfg = _gibbs_config(config, self.sweep_strategy)
+            use_joint = use_joint or (
+                want_joint and joint_auto_eligible(plan, rank,
+                                                   self.dtype)
+            )
+        cfg = _gibbs_config(
+            config, "joint" if use_joint else self.sweep_strategy
+        )
         if cat_plan is not None:
             from .trainer import CategoricalGibbsTrainer
 
@@ -230,15 +249,25 @@ class MyFMGibbsBase(MyFMBase):
                 if self.sweep_strategy == "categorical":
                     raise
         if trainer is None:
+            from .design import JOINT_AUTO_MAX_RANK
+
             trainer = ShardedGibbsTrainer(
                 X, X_rel, y, cfg, rank, init_stdev, random_seed,
                 mesh=mesh, grouping=grouping, dtype=self.dtype,
                 strategy=(
                     "auto" if self.sweep_strategy in (
-                        "joint", "categorical"
+                        "joint", "categorical", "colored"
                     ) else self.sweep_strategy
                 ),
                 max_unrolled_colors=self.max_unrolled_colors,
+                # same auto -> joint upgrade (and the same gates) as
+                # the single-chip core, so fit(..., n_devices=N) keeps
+                # reproducing the single-chip chain sample-for-sample
+                joint_auto=(
+                    self.sweep_strategy == "auto"
+                    and bool(config.fit_linear)
+                    and rank <= JOINT_AUTO_MAX_RANK
+                ),
             )
         return trainer.run(
             config.n_iter, config.n_kept_samples, callback

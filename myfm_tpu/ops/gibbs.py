@@ -597,20 +597,16 @@ def sweep_V(plan: DesignPlan, e, V, alpha, lambda_V, mu_V, key, axis=None):
 
 
 def _chol_mean_sample(S, rhs, lam, xi, alpha):
-    """mean = A⁻¹ rhs and sample = mean + L⁻ᵀξ for A = αS + diag(λ)."""
+    """mean = A⁻¹ rhs and sample = mean + L⁻ᵀξ for A = αS + diag(λ).
+
+    Uses the unrolled clamped solver (ops/joint.chol_solve_sample):
+    jnp.linalg.cholesky NaNs outright when float32 roundoff makes a
+    rank-deficient S's null-direction pivot negative, and costs
+    280-470 µs per scan step vs ~5 µs unrolled."""
+    from .joint import chol_solve_sample
+
     A = alpha * S + jax.vmap(jnp.diag)(lam)
-    L = jnp.linalg.cholesky(A)
-
-    def solve_one(Lp, rp, xp):
-        z = jax.scipy.linalg.solve_triangular(Lp, rp, lower=True)
-        mean = jax.scipy.linalg.solve_triangular(
-            Lp.T, z, lower=False
-        )
-        return mean + jax.scipy.linalg.solve_triangular(
-            Lp.T, xp, lower=False
-        )
-
-    return jax.vmap(solve_one)(L, rhs, xi)
+    return chol_solve_sample(A, rhs, xi, pivot_floor=lam)
 
 
 def _V_joint_color_main(c: ColorPlan, e, q, V, alpha, lam_g, mu_g,
@@ -629,11 +625,18 @@ def _V_joint_color_main(c: ColorPlan, e, q, V, alpha, lam_g, mu_g,
         xphi[:, :, None] * phi[:, None, :] * x[:, :, None],
         c.seg, num_segments=n_seg, indices_are_sorted=True,
     ), axis)
-    t = _psum(jax.ops.segment_sum(
-        e[c.rows][:, None] * xphi, c.seg, num_segments=n_seg,
+    # row-wise rhs (see ops/joint._joint_u_color_main): α(S·v − Σe·xφ)
+    # cancels two ‖S‖-scale aggregates and leaves absolute float32
+    # noise along rank-deficient S's null directions; the per-row form
+    # keeps those components zero to relative precision
+    resid = (
+        jnp.sum(xphi * v_old[c.seg], axis=1) - e[c.rows]
+    )  # [Pe]
+    r = _psum(jax.ops.segment_sum(
+        xphi * resid[:, None], c.seg, num_segments=n_seg,
         indices_are_sorted=True,
     ), axis)
-    rhs = alpha * (jnp.einsum("pfg,pg->pf", S, v_old) - t) + lam * mu
+    rhs = alpha * r + lam * mu
     v_new = _chol_mean_sample(S, rhs, lam, noise[c.feat], alpha)
     delta = v_new - v_old
     dseg = delta[c.seg]  # [Pe, R]
@@ -950,9 +953,17 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
     if merged:
         from .joint import sweep_joint_u
 
+        # q is rebuilt from V at every sweep (q=None -> factor_q), NOT
+        # carried across sweeps: in float32 the incrementally-maintained
+        # cache drifts, the drift biases the (S, t) draw statistics,
+        # and the bias feeds back through the draws — observed as a
+        # runaway chain (|V| -> 1e4/NaN within ~100 sweeps) on dense
+        # main-table designs.  One O(nnz*R) rebuild per sweep is noise
+        # next to the color scan, and matches the reference's per-sweep
+        # cache refresh (FMTrainer.hpp:493-497).
         w, V, e, q_cache = sweep_joint_u(
             plan, e, w, state.V, alpha, lambda_w, mu_w, lambda_V,
-            mu_V, k_v, axis, unroll=cfg.joint_unroll, q=state.q,
+            mu_V, k_v, axis, unroll=cfg.joint_unroll, q=None,
             pallas_tail=cfg.joint_pallas_tail or False,
         )
     elif cfg.joint_rows:
@@ -962,28 +973,19 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
     else:
         V, e = sweep_V(plan, e, state.V, alpha, lambda_V, mu_V, k_v, axis)
 
-    if merged and cfg.task == TASK_REGRESSION:
-        # the merged joint pass maintains e = score − y exactly through
-        # every color update; the reference's per-sweep re-forward
-        # (update_e, FMTrainer.hpp:493-497) recomputes the SAME value,
-        # so skipping it changes nothing but float round-off (drift is
-        # a random walk of O(eps) increments — orders of magnitude
-        # below posterior noise even over thousands of sweeps)
-        if plan.row_mask is not None:
-            # SPMD pad rows gather clamped (garbage) block updates;
-            # refresh_e used to re-zero them — mask explicitly instead
-            e = e * plan.row_mask
+    # per-sweep residual refresh for EVERY task and engine (reference
+    # update_e, FMTrainer.hpp:493-522).  The merged joint pass maintains
+    # e = score − y exactly in exact arithmetic, but in float32 the
+    # maintenance drift compounds across sweeps and feeds back into the
+    # draw statistics (same runaway as the q carry above) — the one
+    # re-forward per sweep pins it.
+    e, cutpoints, oprobit_alpha, n_mh_accept = refresh_e(
+        plan, state, w0, w, V, y, k_e, cfg
+    )
+    if cfg.task != TASK_ORDERED:
         cutpoints = state.cutpoints
         oprobit_alpha = state.oprobit_alpha
         n_mh_accept = state.n_mh_accept
-    else:
-        e, cutpoints, oprobit_alpha, n_mh_accept = refresh_e(
-            plan, state, w0, w, V, y, k_e, cfg
-        )
-        if cfg.task != TASK_ORDERED:
-            cutpoints = state.cutpoints
-            oprobit_alpha = state.oprobit_alpha
-            n_mh_accept = state.n_mh_accept
 
     return GibbsState(
         w0=w0, w=w, V=V, e=e, alpha=alpha,

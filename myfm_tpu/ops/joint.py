@@ -63,7 +63,7 @@ def _psum(x, axis):
 # ---------------------------------------------------------------------------
 
 
-def chol_solve_sample(A, rhs, xi):
+def chol_solve_sample(A, rhs, xi, pivot_floor=None):
     """sample = A⁻¹rhs + L⁻ᵀξ for batched SPD A [B, D, D], unrolled.
 
     L⁻ᵀ(L⁻¹rhs + ξ) via one forward and one backward substitution (two
@@ -71,24 +71,36 @@ def chol_solve_sample(A, rhs, xi):
     Everything is a [B]-vector op: no XLA While/Scan, so the whole draw
     fuses into a handful of kernels (see module docstring for the
     measured ~100x win over jnp.linalg.cholesky inside a scan).
+
+    ``pivot_floor`` [B, D]: a per-coordinate lower bound on the exact
+    Cholesky pivots.  For A = αS + diag(λ) with S PSD, every Schur
+    complement stays ⪰ the remaining diag(λ) block, so pivot_j ≥ λ_j
+    EXACTLY — pass λ here.  This matters when S is rank-deficient
+    (features whose co-active span is < R, e.g. few overlapping
+    features or cold entities): float32 roundoff in the assembled S is
+    then absolute-scale (~eps·‖S‖, possibly ≫ λ) and can push a
+    null-direction pivot toward 0 or negative; the eps-scale fallback
+    floor below admits draw noise ~ ‖S‖/pivot, which was observed to
+    inflate |V| by 100s and collapse the λ draws (a runaway chain).
+    Flooring at λ restores the prior-bounded draw variance the exact
+    conditional has — healthy pivots are untouched.
     """
     B, D, _ = A.shape
     dtype = A.dtype
-    # pivot floor: float32 cancellation in the assembled S can push a
-    # numerically-degenerate pivot non-positive (observed on ordered
+    # fallback floor: float32 cancellation in the assembled S can push
+    # a numerically-degenerate pivot non-positive (observed on ordered
     # probit at ML-100k timesvdpp scale, alpha pinned to 1) — clamp it
-    # relative to the diagonal so the factorization never NaNs; healthy
-    # matrices are untouched (the floor is ~8 eps of the diagonal)
+    # relative to the diagonal so the factorization never NaNs
     eps8 = 8.0 * jnp.finfo(dtype).eps
     cols = []  # cols[j]: column j of L as [B, D] (rows < j zeroed)
     for j in range(D):
         col = A[:, :, j]
         for k in range(j):
             col = col - cols[k] * cols[k][:, j : j + 1]
-        pivot = jnp.maximum(
-            col[:, j],
-            eps8 * jnp.abs(A[:, j, j]) + jnp.finfo(dtype).tiny,
-        )
+        floor_j = eps8 * jnp.abs(A[:, j, j]) + jnp.finfo(dtype).tiny
+        if pivot_floor is not None:
+            floor_j = jnp.maximum(floor_j, pivot_floor[:, j])
+        pivot = jnp.maximum(col[:, j], floor_j)
         inv_d = lax.rsqrt(pivot)
         colj = (col.at[:, j].set(pivot)) * inv_d[:, None]
         mask = (jnp.arange(D) >= j).astype(dtype)
@@ -118,7 +130,8 @@ def _draw_u(S, t, u_old, lam, mu, alpha, xi):
     rhs = alpha * (
         jnp.einsum("pfg,pg->pf", S, u_old) - t
     ) + lam * mu
-    return chol_solve_sample(A, rhs, xi)
+    # λ is an exact lower bound on every pivot of αS + diag(λ)
+    return chol_solve_sample(A, rhs, xi, pivot_floor=lam)
 
 
 # ---------------------------------------------------------------------------
@@ -144,11 +157,27 @@ def _joint_u_color_main(c: ColorPlan, e, q, U, alpha, lam_gu, mu_gu,
         psi[:, :, None] * psi[:, None, :], c.seg, num_segments=n_seg,
         indices_are_sorted=True,
     ), axis)
-    t = _psum(jax.ops.segment_sum(
-        e[c.rows][:, None] * psi, c.seg, num_segments=n_seg,
+    # rhs assembled ROW-WISE as α·Σ ψ(ψᵀu_old − e) + λ∘μ, not as
+    # α(S·u_old − Σeψ): the two are equal in exact arithmetic, but the
+    # latter cancels two separately-rounded ‖S‖-scale aggregates.
+    # Along a rank-deficient S's null directions (features whose
+    # co-active span < R) the exact component is pure prior λμ while
+    # the float32 cancellation noise is absolute (~eps·‖S‖) — divided
+    # by the prior-scale pivot it produced 100s-scale draws and a
+    # λ→0 runaway.  Per-row products keep the null component zero to
+    # relative precision.
+    resid = (
+        jnp.sum(psi * u_old[c.seg], axis=1) - e[c.rows]
+    )  # [Pe]
+    r = _psum(jax.ops.segment_sum(
+        psi * resid[:, None], c.seg, num_segments=n_seg,
         indices_are_sorted=True,
     ), axis)
-    u_new = _draw_u(S, t, u_old, lam, mu, alpha, noise[c.feat])
+    A = alpha * S + jax.vmap(jnp.diag)(lam)
+    rhs = alpha * r + lam * mu
+    u_new = chol_solve_sample(
+        A, rhs, noise[c.feat], pivot_floor=lam
+    )
     delta = u_new - u_old
     dseg = delta[c.seg]
     e = e.at[c.rows].add(
@@ -565,7 +594,8 @@ def _identity_color_apply(dc, G, Atot, Ct, U, alpha, lam_gu, mu_gu,
     eps8 = 8.0 * jnp.finfo(dtype).eps
     tiny = jnp.finfo(dtype).tiny
     s = _chol_solve_sample_lanes(
-        A, rhs, [xi[:, i] for i in range(Dp)], eps8, tiny
+        A, rhs, [xi[:, i] for i in range(Dp)], eps8, tiny,
+        floor=lamv,
     )
     u_new = jnp.stack(s, axis=1)  # [B, R+1]
 

@@ -43,12 +43,14 @@ from jax.experimental.pallas import tpu as pltpu
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _chol_solve_sample_lanes(Svv, rhs, xi, eps8, tiny):
+def _chol_solve_sample_lanes(Svv, rhs, xi, eps8, tiny, floor=None):
     """ops/joint.chol_solve_sample on lists of [Pf]-lane vectors.
 
     ``Svv``: list of lists, Svv[i][j] a [Pf] vector (i, j < Dp);
     ``rhs``/``xi``: lists of [Pf] vectors.  Returns the solution list.
-    Identical recurrences and pivot clamp as the scan path."""
+    Identical recurrences and pivot clamp as the scan path; ``floor``
+    is the per-coordinate exact pivot lower bound (the prior λ for
+    A = αS + diag(λ) — see chol_solve_sample)."""
     Dp = len(rhs)
     cols = []  # cols[j][i] for i >= j: column j of L
     for j in range(Dp):
@@ -59,7 +61,10 @@ def _chol_solve_sample_lanes(Svv, rhs, xi, eps8, tiny):
                 col[i] - ck[i - k] * ck[j - k] if i >= j else col[i]
                 for i in range(Dp)
             ]
-        pivot = jnp.maximum(col[j], eps8 * jnp.abs(Svv[j][j]) + tiny)
+        floor_j = eps8 * jnp.abs(Svv[j][j]) + tiny
+        if floor is not None:
+            floor_j = jnp.maximum(floor_j, floor[j])
+        pivot = jnp.maximum(col[j], floor_j)
         inv_d = jax.lax.rsqrt(pivot)
         colj = [pivot * inv_d] + [
             col[i] * inv_d for i in range(j + 1, Dp)
@@ -199,7 +204,7 @@ def _tail_kernel(
             acc = acc + S[i][j] * u0[j]
         rhs.append(alpha * (acc - t[i]) + lam[i] * mu[i])
 
-    u_new = _chol_solve_sample_lanes(A, rhs, xi, eps8, tiny)
+    u_new = _chol_solve_sample_lanes(A, rhs, xi, eps8, tiny, floor=lam)
     for i in range(Dp):
         u_out_ref[0, i] = u_new[i]
 

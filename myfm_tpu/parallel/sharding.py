@@ -309,6 +309,7 @@ class ShardedGibbsTrainer:
         dtype=np.float32,
         strategy: str = "auto",
         max_unrolled_colors: int = 16,
+        joint_auto: bool = False,
     ):
         if mesh is None:
             mesh = Mesh(np.array(jax.devices()), ("data",))
@@ -322,10 +323,17 @@ class ShardedGibbsTrainer:
         self.plan, self.specs, mask = shard_design(
             X, X_rel, grouping, n_devices, dtype=self.dtype,
             strategy=strategy, max_unrolled_colors=max_unrolled_colors,
-            joint_dense=cfg.joint_rows,
+            joint_dense=cfg.joint_rows or joint_auto,
         )
+        from ..design import joint_auto_eligible
         from ..trainer import _resolve_joint_pallas_tail
 
+        if joint_auto and not cfg.joint_rows and joint_auto_eligible(
+            self.plan, rank, self.dtype
+        ):
+            # the estimator-level "auto" upgrade (gibbs._train_core):
+            # identical gates, so sharded == single-chip engine choice
+            cfg = dataclasses.replace(cfg, joint_rows=True)
         self.cfg = dataclasses.replace(
             _resolve_joint_pallas_tail(cfg, self.dtype, self.plan, rank),
             axis_name="data", n_devices=n_devices,

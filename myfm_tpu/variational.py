@@ -151,8 +151,7 @@ class MyFMVariationalBase(MyFMBase):
             grouping=np.asarray(config.group_index, dtype=np.int32),
             dtype=self.dtype,
             strategy=(
-                "auto" if self.sweep_strategy == "categorical"
-                else self.sweep_strategy
+                "serial" if self.sweep_strategy == "serial" else "auto"
             ),
             max_unrolled_colors=self.max_unrolled_colors,
         )

@@ -72,7 +72,7 @@ def test_serial_vs_colored_parity(middle_data):
         sweep_strategy="serial", **common
     ).fit(X, y, n_iter=10, n_kept_samples=10)
     fm_auto = MyFMGibbsRegressor(
-        sweep_strategy="auto", **common
+        sweep_strategy="colored", **common
     ).fit(X, y, n_iter=10, n_kept_samples=10)
 
     np.testing.assert_allclose(

@@ -241,3 +241,37 @@ def test_joint_posterior_concentration():
 def test_unknown_sweep_strategy_rejected():
     with pytest.raises(ValueError, match="sweep_strategy"):
         MyFMGibbsRegressor(rank=2, sweep_strategy="jiont")
+
+
+def test_auto_resolves_to_joint_within_gates():
+    """'auto' runs the merged joint sweep on a relational design whose
+    blocks fit the dense machinery (the reference's RelationBlock
+    configs) — the default engine must be the measured-fast one —
+    and the upgrade is gated off beyond JOINT_AUTO_MAX_RANK."""
+    X_main, blocks, y = _make_relational_problem(seed=23)
+    kwargs = dict(rank=3, random_seed=5, dtype=np.float64)
+    fm_auto = MyFMGibbsRegressor(sweep_strategy="auto", **kwargs).fit(
+        X_main, y, X_rel=blocks, n_iter=8, n_kept_samples=8
+    )
+    fm_joint = MyFMGibbsRegressor(
+        sweep_strategy="joint", **kwargs
+    ).fit(X_main, y, X_rel=blocks, n_iter=8, n_kept_samples=8)
+    np.testing.assert_allclose(
+        fm_auto.V_samples, fm_joint.V_samples, rtol=1e-9, atol=1e-12
+    )
+
+    # beyond the rank gate "auto" stays chromatic
+    from myfm_tpu.design import JOINT_AUTO_MAX_RANK
+
+    big = JOINT_AUTO_MAX_RANK + 1
+    kwargs_big = dict(rank=big, random_seed=5, dtype=np.float64)
+    fm_auto_big = MyFMGibbsRegressor(
+        sweep_strategy="auto", **kwargs_big
+    ).fit(X_main, y, X_rel=blocks, n_iter=4, n_kept_samples=4)
+    fm_colored_big = MyFMGibbsRegressor(
+        sweep_strategy="colored", **kwargs_big
+    ).fit(X_main, y, X_rel=blocks, n_iter=4, n_kept_samples=4)
+    np.testing.assert_allclose(
+        fm_auto_big.V_samples, fm_colored_big.V_samples,
+        rtol=1e-9, atol=1e-12,
+    )

@@ -25,9 +25,12 @@ def test_sharded_equals_single_chip(n_devices, max_unrolled):
     X_main, blocks, y = _make_relational_problem(seed=13, n_rows=402)
     # 402 rows: deliberately NOT divisible by 4 to exercise row padding
 
+    # "colored" explicitly: this test pins the chromatic machinery's
+    # SPMD parity (the estimator's "auto" resolves this design to the
+    # joint engine, which has its own sharded parity test below)
     fm = MyFMGibbsRegressor(
         rank=2, random_seed=7, dtype=np.float64,
-        max_unrolled_colors=max_unrolled,
+        max_unrolled_colors=max_unrolled, sweep_strategy="colored",
     ).fit(X_main, y, X_rel=blocks, n_iter=8, n_kept_samples=8)
 
     mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
@@ -242,6 +245,30 @@ def test_sharded_joint_equals_single_chip(n_dev):
         np.testing.assert_allclose(s_n.w0, fm_sample.w0, rtol=1e-8)
         np.testing.assert_allclose(s_n.w, fm_sample.w, rtol=1e-6, atol=1e-9)
         np.testing.assert_allclose(s_n.V, fm_sample.V, rtol=1e-6, atol=1e-9)
+
+
+def test_auto_upgrade_consistent_under_n_devices():
+    """The 'auto' -> joint engine upgrade must resolve identically on
+    the single-chip and sharded cores (same gates), so
+    fit(..., n_devices=2) with defaults still reproduces the
+    single-chip chain sample-for-sample."""
+    X_main, blocks, y = _make_relational_problem(seed=29, n_rows=402)
+    kwargs = dict(rank=2, random_seed=11, dtype=np.float64)
+    fm1 = MyFMGibbsRegressor(**kwargs).fit(
+        X_main, y, X_rel=blocks, n_iter=6, n_kept_samples=6
+    )
+    fm2 = MyFMGibbsRegressor(n_devices=2, **kwargs).fit(
+        X_main, y, X_rel=blocks, n_iter=6, n_kept_samples=6
+    )
+    np.testing.assert_allclose(
+        fm1.w0_samples, fm2.w0_samples, rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        fm1.w_samples, fm2.w_samples, rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        fm1.V_samples, fm2.V_samples, rtol=1e-6, atol=1e-9
+    )
 
 
 def test_estimator_n_devices_api():
