@@ -72,6 +72,38 @@ def main():
         VariationalFMRegressor,
     )
 
+    # Breast-cancer AUC — the one REAL-data reference number that is
+    # reproducible offline (sklearn ships the dataset; reference
+    # doc/source/index.rst:28-51 publishes AUC 0.9954 on this exact
+    # recipe: StandardScaler, train_test_split(random_state=42),
+    # MyFMClassifier(rank=2) defaults)
+    real_rows = []
+    try:
+        from sklearn import metrics
+        from sklearn.datasets import load_breast_cancer
+        from sklearn.model_selection import train_test_split
+        from sklearn.preprocessing import StandardScaler
+
+        from myfm_tpu import MyFMGibbsClassifier
+
+        t0 = time.time()
+        data = load_breast_cancer()
+        Xb = StandardScaler().fit_transform(data["data"])
+        Xb_tr, Xb_te, yb_tr, yb_te = train_test_split(
+            Xb, data["target"], random_state=42
+        )
+        clf = MyFMGibbsClassifier(rank=2).fit(Xb_tr, yb_tr)
+        auc = metrics.roc_auc_score(
+            yb_te, clf.predict_proba(Xb_te)
+        )
+        real_rows.append((
+            "Breast-cancer AUC (real data, rank 2 defaults)",
+            float(auc), 0.9954, time.time() - t0,
+        ))
+        print(real_rows[-1], flush=True)
+    except Exception as exc:  # pragma: no cover
+        print(f"breast-cancer row skipped: {exc!r}", flush=True)
+
     df_train, df_test = load_movielens(
         "100k", args.fold, synthetic=not args.real, random_seed=args.seed
     )
@@ -163,6 +195,22 @@ def main():
         lines.append(
             f"| {name} | {r:.5f} | {m:.5f} | {ref} | {wall:.0f}s |"
         )
+    if real_rows:
+        lines += [
+            "",
+            "Real-data parity (sklearn's bundled breast-cancer set — "
+            "the one reference",
+            "number reproducible in this zero-egress environment; "
+            "reference recipe and",
+            "value: doc/source/index.rst:28-51):",
+            "",
+            "| config | AUC | reference AUC | fit wall |",
+            "|---|---|---|---|",
+        ]
+        for name, auc, ref, wall in real_rows:
+            lines.append(
+                f"| {name} | {auc:.5f} | {ref} | {wall:.0f}s |"
+            )
     lines.append("")
     with open(args.out, "w") as f:
         f.write("\n".join(lines))

@@ -58,3 +58,28 @@ def test_classifier_predict_consistency(stub_weight):
     )
     np.testing.assert_allclose(proba, manual, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(clf.predict(X), proba > 0.5)
+
+
+def test_breast_cancer_auc_reference_parity():
+    """The reference's one offline-reproducible REAL-data number:
+    AUC 0.9954 on sklearn's breast-cancer set with the exact recipe of
+    reference doc/source/index.rst:28-51 (StandardScaler,
+    train_test_split(random_state=42), MyFMClassifier(rank=2)
+    defaults).  This pins real-data accuracy parity end-to-end through
+    the drop-in `myfm` shim."""
+    from sklearn import metrics
+    from sklearn.datasets import load_breast_cancer
+    from sklearn.model_selection import train_test_split
+    from sklearn.preprocessing import StandardScaler
+
+    from myfm import MyFMClassifier
+
+    data = load_breast_cancer()
+    X = StandardScaler().fit_transform(data["data"])
+    X_tr, X_te, y_tr, y_te = train_test_split(
+        X, data["target"], random_state=42
+    )
+    clf = MyFMClassifier(rank=2).fit(X_tr, y_tr)
+    auc = metrics.roc_auc_score(y_te, clf.predict_proba(X_te))
+    # reference doctest asserts 0.99... (ELLIPSIS); we measured 0.99542
+    assert auc > 0.99
