@@ -273,6 +273,13 @@ def main():
     except Exception as exc:  # pragma: no cover
         log(f"colored bench failed: {exc!r}")
     try:
+        # the reference's second measured throughput: ordered probit
+        # on the extended features at 12.28 it/s
+        # (examples/ml-100k-extended.ipynb)
+        detail["oprobit_100k_timesvdpp_rank10"] = _bench_oprobit_100k()
+    except Exception as exc:  # pragma: no cover
+        log(f"oprobit bench failed: {exc!r}")
+    try:
         # the reference's true flagship config (ml-10m-regression.py
         # defaults to rank 128, examples/ml-10m-regression.py:20-274)
         detail["fastpath_10m_rank128_sweeps_per_sec"] = (
@@ -435,6 +442,33 @@ def _bench_predict(X, blocks, rank, state, n_samples=8):
         f"{rows_per_sec/1e6:.1f}M rows/s"
     )
     return round(rows_per_sec, 1)
+
+
+def _bench_oprobit_100k(n_timed=10):
+    """Ordered probit on the ML-100k timesvdpp features (joint sweep +
+    cutpoint MH) — reference notebook: 12.28 it/s on the author's CPU
+    (examples/ml-100k-extended.ipynb)."""
+    import jax
+
+    from myfm_tpu.design import compile_design
+    from myfm_tpu.ops.gibbs import GibbsConfig
+    from myfm_tpu.trainer import GibbsTrainer
+
+    X_date, blocks, y, grouping = _timesvdpp_100k()
+    y_int = (y - 1.0).astype(np.int64)  # ratings 1..5 -> classes 0..4
+    plan = compile_design(
+        X_date, blocks, grouping=np.asarray(grouping),
+        dtype=np.float32, for_training=True, joint_dense=True,
+    )
+    cfg = GibbsConfig(task="ordered", joint_rows=True, n_class=5)
+    tr = GibbsTrainer(plan, y_int, cfg, 10, 0.1, 42, np.float32)
+    master = jax.random.PRNGKey(42)
+    keys = [jax.random.fold_in(master, i) for i in range(n_timed + 2)]
+    it_s = _run_sweeps(tr, plan, tr.y_int, tr.cfg, n_timed, keys)
+    log(f"oprobit ML-100k timesvdpp rank 10: {it_s:.2f} it/s "
+        f"(pallas_tail={tr.cfg.joint_pallas_tail}; reference notebook "
+        "12.28 it/s)")
+    return round(it_s, 2)
 
 
 def _bench_colored_100k(n_timed=3):
