@@ -124,17 +124,13 @@ class GibbsState:
     cutpoints: Optional[jax.Array] = None  # [K-1] (ordered probit)
     oprobit_alpha: Optional[jax.Array] = None  # [K-1] unconstrained cutpoints
     n_mh_accept: Optional[jax.Array] = None  # scalar int
-    # factor-sum cache q = X·V [N, R], carried across sweeps by the
-    # merged joint path only (None elsewhere); maintained exactly by
-    # the color updates, so recomputing it per sweep is pure overhead
-    q: Optional[jax.Array] = None
 
 
 jax.tree_util.register_dataclass(
     GibbsState,
     data_fields=[
         "w0", "w", "V", "e", "alpha", "mu_w", "lambda_w", "mu_V",
-        "lambda_V", "cutpoints", "oprobit_alpha", "n_mh_accept", "q",
+        "lambda_V", "cutpoints", "oprobit_alpha", "n_mh_accept",
     ],
     meta_fields=[],
 )
@@ -949,7 +945,6 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
     mu_V = draw_mu(
         k_mv, state.V, lambda_V, plan.group_index, plan.group_counts, cfg
     )
-    q_cache = state.q
     if merged:
         from .joint import sweep_joint_u
 
@@ -961,7 +956,7 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
         # main-table designs.  One O(nnz*R) rebuild per sweep is noise
         # next to the color scan, and matches the reference's per-sweep
         # cache refresh (FMTrainer.hpp:493-497).
-        w, V, e, q_cache = sweep_joint_u(
+        w, V, e, _ = sweep_joint_u(
             plan, e, w, state.V, alpha, lambda_w, mu_w, lambda_V,
             mu_V, k_v, axis, unroll=cfg.joint_unroll, q=None,
             pallas_tail=cfg.joint_pallas_tail or False,
@@ -993,7 +988,6 @@ def gibbs_sweep(plan: DesignPlan, state: GibbsState, y, key,
         cutpoints=cutpoints,
         oprobit_alpha=oprobit_alpha,
         n_mh_accept=n_mh_accept,
-        q=q_cache,
     )
 
 

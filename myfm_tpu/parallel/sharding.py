@@ -351,14 +351,12 @@ class ShardedGibbsTrainer:
         else:
             self.y_int = None
 
-        merged_joint = cfg.joint_rows and cfg.fit_linear
         state_spec = GibbsState(
             w0=P(), w=P(), V=P(), e=P("data"), alpha=P(),
             mu_w=P(), lambda_w=P(), mu_V=P(), lambda_V=P(),
             cutpoints=P() if ordered else None,
             oprobit_alpha=P() if ordered else None,
             n_mh_accept=P() if ordered else None,
-            q=P("data") if merged_joint else None,
         )
         cfg_static = self.cfg
 
@@ -385,24 +383,7 @@ class ShardedGibbsTrainer:
         init_spec = dataclasses.replace(
             state_spec,
             cutpoints=None, oprobit_alpha=None, n_mh_accept=None,
-            q=None,
         )
-        if merged_joint:
-            from ..ops.forward import factor_q as _factor_q
-
-            def init_q(plan, state):
-                return _factor_q(plan, state.V)
-
-            self._init_q = jax.jit(
-                _shard_map(
-                    init_q,
-                    mesh=self.mesh,
-                    in_specs=(self.specs, init_spec),
-                    out_specs=P("data"),
-                    check_vma=False,
-                )
-            )
-        self._merged_joint = merged_joint
         self._init_e = jax.jit(
             _shard_map(
                 init_e,
@@ -452,7 +433,7 @@ class ShardedGibbsTrainer:
                     in_specs=(
                         self.specs, init_spec, P("data"), P()
                     ),
-                    out_specs=dataclasses.replace(state_spec, q=None),
+                    out_specs=state_spec,
                     check_vma=False,
                 )
             )
@@ -482,15 +463,6 @@ class ShardedGibbsTrainer:
         else:
             e = self._init_e(self.plan, state, self.y)
             state = dataclasses.replace(state, e=e)
-        if self._merged_joint:
-            q0 = self._init_q(
-                self.plan,
-                dataclasses.replace(
-                    state, q=None, cutpoints=None,
-                    oprobit_alpha=None, n_mh_accept=None,
-                ),
-            )
-            state = dataclasses.replace(state, q=q0)
         return state
 
     def _sweep_call(self, state, key):

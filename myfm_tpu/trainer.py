@@ -265,10 +265,6 @@ class GibbsTrainer:
         return self._sweep(self.plan, state, y_arg, key, self.cfg)
 
     def _initialize(self, key) -> GibbsState:
-        import dataclasses
-
-        from .ops.forward import factor_q
-
         k_init, k_e = jax.random.split(key)
         state = init_state(
             self.plan, self.rank, self.init_stdev, k_init, self.cfg,
@@ -297,10 +293,6 @@ class GibbsTrainer:
                 lambda_w=state.lambda_w, mu_V=state.mu_V,
                 lambda_V=state.lambda_V,
             )
-        if self.cfg.joint_rows and self.cfg.fit_linear:
-            # the merged joint sweep carries the factor-sum cache q
-            q0 = jax.jit(factor_q)(self.plan, state.V)
-            state = dataclasses.replace(state, q=q0)
         return state
 
     def run(
