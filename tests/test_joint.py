@@ -275,3 +275,26 @@ def test_auto_resolves_to_joint_within_gates():
         fm_auto_big.V_samples, fm_colored_big.V_samples,
         rtol=1e-9, atol=1e-12,
     )
+
+
+def test_joint_f32_long_run_stays_bounded():
+    """Regression guard for the float32 joint-engine fixes (per-sweep
+    q rebuild + residual refresh, λ pivot floor, row-wise rhs): a
+    300-sweep float32 run on the canonical relational problem must
+    stay finite and prior-bounded.  Before the fixes this class of run
+    diverged (|V| → 1e4/NaN) within ~100-200 sweeps."""
+    X_main, blocks, y = _make_relational_problem(seed=3)
+    traces = []
+
+    def cb(i, fm, hyper, history):
+        traces.append(float(np.abs(fm.V).max()))
+        return False, None
+
+    fm = MyFMGibbsRegressor(
+        rank=4, random_seed=11, dtype=np.float32,
+        sweep_strategy="joint",
+    ).fit(X_main, y, X_rel=blocks, n_iter=300, n_kept_samples=5,
+          callback=cb)
+    mx = np.array(traces)
+    assert np.isfinite(mx).all()
+    assert mx.max() < 10.0  # truth scale is ~1; runaway reached 1e4+
