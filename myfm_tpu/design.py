@@ -267,15 +267,15 @@ jax.tree_util.register_dataclass(
 JOINT_AUTO_MAX_RANK = 16
 
 
-def joint_auto_eligible(
-    plan: "DesignPlan", rank: int, dtype=np.float32
+def joint_auto_candidate(
+    rank: int, fit_linear: bool, dtype, group_index
 ) -> bool:
-    """Whether "auto" should run the merged joint sweep on this plan.
+    """Pre-compile part of the "auto" → joint upgrade decision (the
+    single source of truth for the single-chip AND sharded cores, so
+    their engine choices cannot drift apart).
 
-    True when the rank is within JOINT_AUTO_MAX_RANK, every block got
-    dense color operands (compiled with ``joint_dense=True`` inside the
-    C×B budget) — the regime where the joint sweep is measured 10-25×
-    the chromatic sweep — and, under float32, every hyper-group is
+    True when the linear terms are fit, the rank is within
+    JOINT_AUTO_MAX_RANK, and — under float32 — every hyper-group is
     large enough to identify its λ draws tightly.  Tiny groups (a
     handful of features sharing one Gamma prior) give λ a heavy
     posterior tail; during a λ→small excursion the scores inflate and
@@ -286,23 +286,53 @@ def joint_auto_eligible(
     rides out the same excursions, so it stays the fallback there.
     float64 joint is robust at any group size.
 
-    All gates depend only on (rank, dtype, block shapes, grouping), so
-    blocked and flattened representations of the same design resolve
-    to the same engine and the reference's blocked ≡ flattened sample
-    contract is preserved under "auto"."""
-    if rank > JOINT_AUTO_MAX_RANK:
+    Computable from (rank, dtype, grouping) alone — callers check it
+    BEFORE compiling the design so a guaranteed-rejected upgrade never
+    pays for dense color operands."""
+    if not fit_linear or rank > JOINT_AUTO_MAX_RANK:
         return False
+    if np.dtype(dtype) == np.float64:
+        return True
+    counts = np.bincount(np.asarray(group_index, dtype=np.int64))
+    return counts.size > 0 and int(counts.min()) >= max(
+        16, 4 * (rank + 2)
+    )
+
+
+def joint_auto_eligible(
+    plan: "DesignPlan", rank: int, dtype=np.float32
+) -> bool:
+    """Post-compile part of the "auto" → joint decision: the candidate
+    gates (re-checked from the plan's own group counts) plus "every
+    block got dense color operands" (compiled with ``joint_dense=True``
+    inside the C×B budget) — the regime where the joint sweep is
+    measured 10-25× the chromatic sweep.
+
+    Representation consistency: the candidate gates depend only on
+    (rank, dtype, grouping), which blocked and flattened forms of the
+    same design share, so they resolve identically and the reference's
+    blocked ≡ flattened sample contract holds under "auto".  The ONE
+    exception is the dense budget: a block whose n_colors × block_size
+    exceeds the 64M-element budget falls back to colored while its
+    flattened form (no blocks) would take the joint engine.  That
+    boundary sits at ~10M-row scale where materializing the flattened
+    matrix is already infeasible, so no practical workload observes it
+    — but when exact cross-representation parity is required at any
+    scale, pin the engine explicitly (sweep_strategy="colored" or
+    "joint")."""
     if not all(
         b.dense_colors or b.dense_stack is not None
         for b in plan.blocks
         if b.n_cols > 0
     ):
         return False
-    if np.dtype(dtype) == np.float64:
-        return True
     counts = np.asarray(plan.group_counts)
-    return counts.size > 0 and float(counts.min()) >= max(
-        16, 4 * (rank + 2)
+    if np.dtype(dtype) == np.float64:
+        return rank <= JOINT_AUTO_MAX_RANK
+    return (
+        rank <= JOINT_AUTO_MAX_RANK
+        and counts.size > 0
+        and float(counts.min()) >= max(16, 4 * (rank + 2))
     )
 
 

@@ -179,16 +179,18 @@ class MyFMGibbsBase(MyFMBase):
                     "block of [one-hot | per-entity side-feature] "
                     "column groups within the entity+attribute gates."
                 )
-            from .design import JOINT_AUTO_MAX_RANK, joint_auto_eligible
+            from .design import joint_auto_candidate, joint_auto_eligible
 
             # "auto" prefers the merged joint sweep (one pass over the
             # colors drawing exact (R+1)-dim rows; 10-25x the chromatic
-            # sweep on relational designs) when the rank and dense
-            # machinery gates allow it
+            # sweep on relational designs) when the rank/dtype/grouping
+            # and dense-machinery gates allow it
             want_joint = use_joint or (
                 self.sweep_strategy == "auto"
-                and bool(config.fit_linear)
-                and rank <= JOINT_AUTO_MAX_RANK
+                and joint_auto_candidate(
+                    rank, bool(config.fit_linear), self.dtype,
+                    config.group_index,
+                )
             )
             plan = compile_design(
                 X,
@@ -249,7 +251,7 @@ class MyFMGibbsBase(MyFMBase):
                 if self.sweep_strategy == "categorical":
                     raise
         if trainer is None:
-            from .design import JOINT_AUTO_MAX_RANK
+            from .design import joint_auto_candidate
 
             trainer = ShardedGibbsTrainer(
                 X, X_rel, y, cfg, rank, init_stdev, random_seed,
@@ -260,13 +262,16 @@ class MyFMGibbsBase(MyFMBase):
                     ) else self.sweep_strategy
                 ),
                 max_unrolled_colors=self.max_unrolled_colors,
-                # same auto -> joint upgrade (and the same gates) as
-                # the single-chip core, so fit(..., n_devices=N) keeps
-                # reproducing the single-chip chain sample-for-sample
+                # same auto -> joint upgrade (and the same gate
+                # helper) as the single-chip core, so
+                # fit(..., n_devices=N) keeps reproducing the
+                # single-chip chain sample-for-sample
                 joint_auto=(
                     self.sweep_strategy == "auto"
-                    and bool(config.fit_linear)
-                    and rank <= JOINT_AUTO_MAX_RANK
+                    and joint_auto_candidate(
+                        rank, bool(config.fit_linear), self.dtype,
+                        config.group_index,
+                    )
                 ),
             )
         return trainer.run(

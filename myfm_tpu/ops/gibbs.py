@@ -595,14 +595,15 @@ def sweep_V(plan: DesignPlan, e, V, alpha, lambda_V, mu_V, key, axis=None):
 def _chol_mean_sample(S, rhs, lam, xi, alpha):
     """mean = A⁻¹ rhs and sample = mean + L⁻ᵀξ for A = αS + diag(λ).
 
-    Uses the unrolled clamped solver (ops/joint.chol_solve_sample):
-    jnp.linalg.cholesky NaNs outright when float32 roundoff makes a
-    rank-deficient S's null-direction pivot negative, and costs
-    280-470 µs per scan step vs ~5 µs unrolled."""
-    from .joint import chol_solve_sample
+    Routes through ops/joint.solve_spd_sample: R ≤ 32 uses the
+    unrolled λ-floored solver (jnp.linalg.cholesky NaNs outright when
+    float32 roundoff makes a rank-deficient S's null-direction pivot
+    negative, and costs 280-470 µs per scan step vs ~5 µs unrolled);
+    larger ranks keep the batched linalg path with λ-scale jitter."""
+    from .joint import solve_spd_sample
 
     A = alpha * S + jax.vmap(jnp.diag)(lam)
-    return chol_solve_sample(A, rhs, xi, pivot_floor=lam)
+    return solve_spd_sample(A, rhs, xi, lam)
 
 
 def _V_joint_color_main(c: ColorPlan, e, q, V, alpha, lam_g, mu_g,

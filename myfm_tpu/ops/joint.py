@@ -40,6 +40,17 @@ TPU-first design decisions (measured on a v5e, scripts/microbench_*):
       S[0,0]  = Σx²card,         S[0,1:] = Σx²Q1 − (Σx³card)v
       S[1:,1:] = Σx²QQ − v(Σx³Q1)ᵀ − (Σx³Q1)vᵀ + (Σx⁴card)vvᵀ
       t[0]    = ΣxE1,            t[1:]   = ΣxEQ − (Σx²E1)v.
+
+Float32 note: the MAIN-table color step assembles its rhs ROW-WISE as
+α·Σψ(ψᵀu−e) (see _joint_u_color_main) so rank-deficient-S null
+components stay zero to relative precision.  The block paths CANNOT —
+their statistics come from the compressed Ĝ, whose entries are
+separately-rounded aggregates, so an α(S·u−t)-style cancellation is
+inherent to the Gram design.  The residual absolute noise there is
+eps·(per-entity aggregate scale), which stays ≪ λ as long as scores
+stay moderate — guaranteed in the regime the auto gate admits (large
+hyper-groups ⇒ tight λ ⇒ no score blow-ups; verified by a 2000-sweep
+f32 stress run on a blocked design incl. cold entities).
 """
 
 from __future__ import annotations
@@ -123,15 +134,39 @@ def chol_solve_sample(A, rhs, xi, pivot_floor=None):
     return jnp.stack(s, axis=1)
 
 
+def solve_spd_sample(A, rhs, xi, lam):
+    """A⁻¹rhs + L⁻ᵀξ for batched A = αS + diag(λ), S PSD.
+
+    D ≤ 32 uses the unrolled clamped solver (pivots floored at λ, the
+    exact lower bound); an explicit sweep_strategy="joint" carries no
+    rank gate, and beyond D=32 the unrolled form would inline O(D²)
+    vector ops per draw site into the traced program — large ranks use
+    batched linalg with λ-scale jitter instead (exact pivots are ≥ λ,
+    so the jitter only shores up float roundoff)."""
+    D = A.shape[-1]
+    if D <= 32:
+        return chol_solve_sample(A, rhs, xi, pivot_floor=lam)
+    eps64 = 64.0 * jnp.finfo(A.dtype).eps
+    A = A + jax.vmap(jnp.diag)(eps64 * lam)
+    L = jnp.linalg.cholesky(A)
+
+    def solve_one(Lp, rp, xp):
+        z = jax.scipy.linalg.solve_triangular(Lp, rp, lower=True)
+        mean = jax.scipy.linalg.solve_triangular(Lp.T, z, lower=False)
+        return mean + jax.scipy.linalg.solve_triangular(
+            Lp.T, xp, lower=False
+        )
+
+    return jax.vmap(solve_one)(L, rhs, xi)
+
+
 def _draw_u(S, t, u_old, lam, mu, alpha, xi):
     """Draw u_new ~ p(u | rest) from (S, t) statistics (module doc)."""
-    D = u_old.shape[1]
     A = alpha * S + jax.vmap(jnp.diag)(lam)
     rhs = alpha * (
         jnp.einsum("pfg,pg->pf", S, u_old) - t
     ) + lam * mu
-    # λ is an exact lower bound on every pivot of αS + diag(λ)
-    return chol_solve_sample(A, rhs, xi, pivot_floor=lam)
+    return solve_spd_sample(A, rhs, xi, lam)
 
 
 # ---------------------------------------------------------------------------
@@ -175,9 +210,7 @@ def _joint_u_color_main(c: ColorPlan, e, q, U, alpha, lam_gu, mu_gu,
     ), axis)
     A = alpha * S + jax.vmap(jnp.diag)(lam)
     rhs = alpha * r + lam * mu
-    u_new = chol_solve_sample(
-        A, rhs, noise[c.feat], pivot_floor=lam
-    )
+    u_new = solve_spd_sample(A, rhs, noise[c.feat], lam)
     delta = u_new - u_old
     dseg = delta[c.seg]
     e = e.at[c.rows].add(

@@ -290,7 +290,8 @@ def hw_self_check(verbose: bool = True, dims=None) -> bool:
         backend = jax.default_backend()
     except Exception:
         return False
-    cache_key = (backend, tuple(dims) if dims else None)
+    dims = tuple(dims) if dims else (12, 8, 256)  # default stand-in
+    cache_key = (backend, dims)
     if cache_key in _HW_CHECK_CACHE:
         return _HW_CHECK_CACHE[cache_key]
     if backend != "tpu":
@@ -301,7 +302,7 @@ def hw_self_check(verbose: bool = True, dims=None) -> bool:
 
     ok = False
     try:
-        D, Pf, B = dims if dims else (12, 8, 256)
+        D, Pf, B = dims
         C, R = 4, D - 2
         rng = np.random.RandomState(7)
         z = rng.normal(size=(4 * B, D)).astype(np.float32)
