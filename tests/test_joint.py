@@ -188,6 +188,55 @@ def test_unrolled_chol_solve_sample():
         np.testing.assert_allclose(out[b], want, rtol=1e-9, atol=1e-10)
 
 
+def test_solve_spd_sample_large_rank_linalg_branch():
+    """D > 32 routes through batched linalg; same A^{-1}rhs + L^{-T}xi
+    contract as the unrolled solver (the explicit sweep_strategy=
+    "joint" carries no rank gate, so this branch is reachable from
+    the estimators at rank >= 32)."""
+    from myfm_tpu.ops.joint import solve_spd_sample
+
+    rng = np.random.RandomState(3)
+    B, D = 5, 40
+    M = rng.normal(size=(B, D, D))
+    A = np.einsum("bij,bkj->bik", M, M) + 5.0 * np.eye(D)
+    lam = np.abs(rng.normal(size=(B, D))) + 0.5
+    A = A + np.stack([np.diag(lp) for lp in lam])
+    rhs = rng.normal(size=(B, D))
+    xi = rng.normal(size=(B, D))
+    out = np.asarray(
+        solve_spd_sample(
+            jnp.asarray(A), jnp.asarray(rhs), jnp.asarray(xi),
+            jnp.asarray(lam),
+        )
+    )
+    # the eps-scale lambda jitter perturbs the exact solve at ~1e-14
+    for b in range(B):
+        L = np.linalg.cholesky(A[b])
+        want = np.linalg.solve(A[b], rhs[b]) + np.linalg.solve(
+            L.T, xi[b]
+        )
+        np.testing.assert_allclose(out[b], want, rtol=1e-7, atol=1e-9)
+
+
+def test_joint_large_rank_end_to_end():
+    """Explicit sweep_strategy='joint' at rank 33 ((R+1)-dim draws hit
+    the D>32 linalg branch) stays finite and fits a tiny problem."""
+    rng = np.random.RandomState(11)
+    n, F = 240, 12
+    Xd = (rng.random((n, F)) > 0.6) * rng.normal(size=(n, F))
+    X = sps.csr_matrix(Xd)
+    w_true = rng.normal(size=F)
+    y = Xd @ w_true + 0.1 * rng.normal(size=n)
+    fm = MyFMGibbsRegressor(
+        rank=33, random_seed=2, dtype=np.float64,
+        sweep_strategy="joint",
+    ).fit(X, y, n_iter=6, n_kept_samples=4)
+    pred = fm.predict(X)
+    assert np.all(np.isfinite(pred))
+    rmse = float(np.sqrt(np.mean((pred - y) ** 2)))
+    assert rmse < 1.5, rmse
+
+
 @pytest.mark.parametrize("max_unrolled", [16, 0])
 def test_joint_blocked_equals_flattened(max_unrolled):
     X_main, blocks, y = _make_relational_problem(seed=17)
