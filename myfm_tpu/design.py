@@ -267,6 +267,19 @@ jax.tree_util.register_dataclass(
 JOINT_AUTO_MAX_RANK = 16
 
 
+def _joint_auto_core(rank: int, dtype, group_counts) -> bool:
+    """The (rank, dtype, grouping) thresholds shared by BOTH halves of
+    the "auto" → joint decision — the one place to tune them."""
+    if rank > JOINT_AUTO_MAX_RANK:
+        return False
+    if np.dtype(dtype) == np.float64:
+        return True
+    counts = np.asarray(group_counts)
+    return counts.size > 0 and float(counts.min()) >= max(
+        16, 4 * (rank + 2)
+    )
+
+
 def joint_auto_candidate(
     rank: int, fit_linear: bool, dtype, group_index
 ) -> bool:
@@ -289,24 +302,23 @@ def joint_auto_candidate(
     Computable from (rank, dtype, grouping) alone — callers check it
     BEFORE compiling the design so a guaranteed-rejected upgrade never
     pays for dense color operands."""
-    if not fit_linear or rank > JOINT_AUTO_MAX_RANK:
-        return False
-    if np.dtype(dtype) == np.float64:
-        return True
-    counts = np.bincount(np.asarray(group_index, dtype=np.int64))
-    return counts.size > 0 and int(counts.min()) >= max(
-        16, 4 * (rank + 2)
+    return fit_linear and _joint_auto_core(
+        rank, dtype,
+        np.bincount(np.asarray(group_index, dtype=np.int64)),
     )
 
 
 def joint_auto_eligible(
     plan: "DesignPlan", rank: int, dtype=np.float32
 ) -> bool:
-    """Post-compile part of the "auto" → joint decision: the candidate
-    gates (re-checked from the plan's own group counts) plus "every
-    block got dense color operands" (compiled with ``joint_dense=True``
+    """Post-compile part of the "auto" → joint decision: the
+    (rank, dtype, grouping) thresholds (re-checked from the plan's own
+    group counts via the shared ``_joint_auto_core``) plus "every block
+    got dense color operands" (compiled with ``joint_dense=True``
     inside the C×B budget) — the regime where the joint sweep is
-    measured 10-25× the chromatic sweep.
+    measured 10-25× the chromatic sweep.  ``fit_linear`` is NOT
+    re-checked here: both call sites conjoin this with the
+    ``joint_auto_candidate`` result, which enforces it.
 
     Representation consistency: the candidate gates depend only on
     (rank, dtype, grouping), which blocked and flattened forms of the
@@ -320,20 +332,11 @@ def joint_auto_eligible(
     — but when exact cross-representation parity is required at any
     scale, pin the engine explicitly (sweep_strategy="colored" or
     "joint")."""
-    if not all(
+    return all(
         b.dense_colors or b.dense_stack is not None
         for b in plan.blocks
         if b.n_cols > 0
-    ):
-        return False
-    counts = np.asarray(plan.group_counts)
-    if np.dtype(dtype) == np.float64:
-        return rank <= JOINT_AUTO_MAX_RANK
-    return (
-        rank <= JOINT_AUTO_MAX_RANK
-        and counts.size > 0
-        and float(counts.min()) >= max(16, 4 * (rank + 2))
-    )
+    ) and _joint_auto_core(rank, dtype, plan.group_counts)
 
 
 def greedy_color(csc: sps.csc_matrix) -> List[np.ndarray]:

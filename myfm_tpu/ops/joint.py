@@ -141,20 +141,31 @@ def solve_spd_sample(A, rhs, xi, lam):
     exact lower bound); an explicit sweep_strategy="joint" carries no
     rank gate, and beyond D=32 the unrolled form would inline O(D²)
     vector ops per draw site into the traced program — large ranks use
-    batched linalg with λ-scale jitter instead (exact pivots are ≥ λ,
-    so the jitter only shores up float roundoff)."""
+    batched linalg with a diagonal ridge instead.  The exact pivots are
+    ≥ λ, but the *computed* ones carry ~D·eps·max(diag A) absolute
+    roundoff (for PSD A the largest element sits on the diagonal),
+    which can exceed λ outright when αS is rank-deficient and
+    ‖αS‖ ≫ λ — jnp.linalg.cholesky then silently NaNs.  The ridge is
+    therefore scaled to (2D+64)·eps·max(diag) per batch element, an
+    upper bound on that roundoff, perturbing the conditional at
+    relative O(D·eps) — far below the draw's own noise."""
     D = A.shape[-1]
     if D <= 32:
         return chol_solve_sample(A, rhs, xi, pivot_floor=lam)
-    eps64 = 64.0 * jnp.finfo(A.dtype).eps
-    A = A + jax.vmap(jnp.diag)(eps64 * lam)
+    diag_max = jnp.max(
+        jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1, keepdims=True
+    )
+    ridge = (2.0 * D + 64.0) * jnp.finfo(A.dtype).eps * jnp.maximum(
+        diag_max, lam
+    )
+    A = A + jax.vmap(jnp.diag)(jnp.broadcast_to(ridge, lam.shape))
     L = jnp.linalg.cholesky(A)
 
     def solve_one(Lp, rp, xp):
         z = jax.scipy.linalg.solve_triangular(Lp, rp, lower=True)
-        mean = jax.scipy.linalg.solve_triangular(Lp.T, z, lower=False)
-        return mean + jax.scipy.linalg.solve_triangular(
-            Lp.T, xp, lower=False
+        # one upper solve serves mean + noise: L⁻ᵀ(z + ξ)
+        return jax.scipy.linalg.solve_triangular(
+            Lp.T, z + xp, lower=False
         )
 
     return jax.vmap(solve_one)(L, rhs, xi)

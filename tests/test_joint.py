@@ -218,6 +218,43 @@ def test_solve_spd_sample_large_rank_linalg_branch():
         np.testing.assert_allclose(out[b], want, rtol=1e-7, atol=1e-9)
 
 
+def test_solve_spd_sample_rank_deficient_f32_stays_finite():
+    """float32, S rank-deficient with alpha*||S|| >> lambda: computed
+    Cholesky pivots go negative by ~eps*||A|| without the ridge and
+    jnp.linalg.cholesky silently NaNs — the draw must stay finite and
+    match a float64 solve in the data directions."""
+    from myfm_tpu.ops.joint import solve_spd_sample
+
+    rng = np.random.RandomState(9)
+    B, D, k = 4, 40, 7  # S rank 7 << D
+    M = rng.normal(size=(B, D, k))
+    S = np.einsum("bij,bkj->bik", M, M)
+    lam = np.full((B, D), 1e-3)
+    A64 = 1e6 * S + np.stack([np.diag(lp) for lp in lam])
+    rhs = (1e3 * rng.normal(size=(B, D))).astype(np.float32)
+    xi = rng.normal(size=(B, D)).astype(np.float32)
+    out = np.asarray(
+        solve_spd_sample(
+            jnp.asarray(A64, dtype=jnp.float32), jnp.asarray(rhs),
+            jnp.asarray(xi), jnp.asarray(lam, dtype=jnp.float32),
+        )
+    )
+    assert np.all(np.isfinite(out)), out
+    # data-direction components must agree with the exact f64 solve
+    # (null directions are prior-dominated draw noise, not comparable
+    # at f32 absolute roundoff)
+    for b in range(B):
+        L = np.linalg.cholesky(A64[b])
+        want = np.linalg.solve(A64[b], rhs[b]) + np.linalg.solve(
+            L.T, xi[b]
+        )
+        U, sv, _ = np.linalg.svd(S[b])
+        P_data = U[:, : np.sum(sv > 1e-8 * sv[0])]
+        np.testing.assert_allclose(
+            P_data.T @ out[b], P_data.T @ want, atol=5e-2
+        )
+
+
 def test_joint_large_rank_end_to_end():
     """Explicit sweep_strategy='joint' at rank 33 ((R+1)-dim draws hit
     the D>32 linalg branch) stays finite and fits a tiny problem."""
