@@ -87,8 +87,8 @@ def _chol_solve_sample_lanes(Svv, rhs, xi, eps8, tiny, floor=None):
 
 
 def _tail_kernel(
-    xw_ref,    # [1, B] f32
-    segb_ref,  # [1, B] int32
+    xw_ref,    # [1, 1, B] f32 (leading singleton keeps the blocked
+    segb_ref,  # [1, 1, B] int32  last-two dims Mosaic-legal: (1, B))
     u0_ref,    # [1, Dp, Pf] f32 (transposed stacks: minor = feature)
     lam_ref,   # [1, Dp, Pf]
     mu_ref,    # [1, Dp, Pf]
@@ -124,8 +124,8 @@ def _tail_kernel(
         at_s[...] = at_in_ref[...]
         ct_s[...] = ct_in_ref[...]
 
-    xw = xw_ref[0]  # [B]
-    segb = segb_ref[0]
+    xw = xw_ref[0, 0]  # [B]
+    segb = segb_ref[0, 0]
     B = xw.shape[0]
     alpha = alpha_ref[0, 0]
     x2 = xw * xw
@@ -397,9 +397,13 @@ def joint_tail_pass(
         num_scalar_prefetch=0,
         grid=(C,),
         in_specs=[
-            pl.BlockSpec((1, B), lambda c: (c, 0),
+            # xw/segb ride as [C, 1, B] so the per-color block's last
+            # two dims are (1, B) — Mosaic requires the second-to-last
+            # block dim divide 8 or equal the array dim, which a
+            # (1, B) block over [C, B] violates for general C
+            pl.BlockSpec((1, 1, B), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda c: (c, 0),
+            pl.BlockSpec((1, 1, B), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Dp, Pf), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -445,7 +449,8 @@ def joint_tail_pass(
         ),
         interpret=interpret,
     )(
-        xw.astype(dtype), segb.astype(jnp.int32), u0_t, lam_t, mu_t,
+        xw.astype(dtype)[:, None, :], segb.astype(jnp.int32)[:, None, :],
+        u0_t, lam_t, mu_t,
         xi_t, G, Atot, Ct[None, :],
         jnp.asarray(alpha, dtype).reshape(1, 1),
     )
