@@ -57,7 +57,7 @@ def _emit(value, vs_baseline, metric_suffix="", **extra):
     )
 
 
-def _tpu_alive(timeout_s=240):
+def _tpu_alive(timeout_s=900):
     """Probe the axon TPU tunnel in a subprocess: jax.devices() hangs
     forever when the tunnel is down (observed 2026-08-17), which would
     otherwise hang the whole bench run."""
@@ -137,26 +137,10 @@ def build_problem(n_rows, rank, seed=0):
     return X_date, blocks, y, grouping
 
 
-def main():
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_054
-    rank = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    n_timed = 20
-
-    if not _tpu_alive():
-        log("TPU tunnel unreachable (probe hung/failed) — no hardware")
-        _emit(
-            0.0, 0.0,
-            note=(
-                "axon TPU tunnel down at bench time (jax.devices() "
-                "hangs); 0 means no measurement, not a perf "
-                "regression — see STATUS.md"
-            ),
-        )
-        return
-    # generous ceiling: data gen + design compile + first-program
-    # compile storm through the tunnel is ~10 min on a cold cache
-    _arm_watchdog(5400)
-
+def _measure_headline(X, blocks, y, grouping, rank, n_timed,
+                      fixed_ts=None):
+    """Compile the fast-path plan and time the sweep; raises on any
+    engine failure (the caller degrades to a fallback tiling)."""
     import jax
     import jax.numpy as jnp
 
@@ -164,13 +148,10 @@ def main():
     from myfm_tpu.ops.gibbs import GibbsConfig
     from myfm_tpu.trainer import CategoricalGibbsTrainer
 
-    log(f"jax devices: {jax.devices()}")
-    X, blocks, y, grouping = build_problem(n_rows, rank)
-
     t0 = time.time()
     plan = try_compile_categorical(
         X, blocks, np.asarray(grouping, dtype=np.int32), None,
-        np.float32, rank=rank,
+        np.float32, rank=rank, fixed_ts=fixed_ts,
     )
     assert plan is not None, "flagship workload must hit the fast path"
     log(
@@ -216,7 +197,64 @@ def main():
         f"{n_timed} sweeps in {dt:.2f}s -> {sweeps_per_sec:.2f} sweeps/s; "
         f"alpha={checksum:.3f}"
     )
+    return sweeps_per_sec, state
 
+
+def main():
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_054
+    rank = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    n_timed = 20
+
+    if not _tpu_alive():
+        log("TPU tunnel unreachable (probe hung/failed) — no hardware")
+        _emit(
+            0.0, 0.0,
+            note=(
+                "axon TPU tunnel down at bench time (jax.devices() "
+                "hangs); 0 means no measurement, not a perf "
+                "regression — see STATUS.md"
+            ),
+        )
+        return
+    # generous ceiling: data gen + design compile + first-program
+    # compile storm through the tunnel is ~10 min on a cold cache
+    _arm_watchdog(5400)
+
+    import jax
+
+    log(f"jax devices: {jax.devices()}")
+    X, blocks, y, grouping = build_problem(n_rows, rank)
+
+    # The headline must ALWAYS produce a measurement: an engine failure
+    # (BENCH_r02: compile-time scoped-VMEM OOM from a bad tiling)
+    # degrades to the round-1 known-good tiling instead of rc=1.
+    state = None
+    headline_note = None
+    try:
+        sweeps_per_sec, state = _measure_headline(
+            X, blocks, y, grouping, rank, n_timed
+        )
+    except Exception as exc:
+        log(f"headline failed with chosen tiling: {exc!r}")
+        log("retrying with fallback tiling (T=1024, S=8)")
+        try:
+            sweeps_per_sec, state = _measure_headline(
+                X, blocks, y, grouping, rank, n_timed,
+                fixed_ts=(1024, 8),
+            )
+            headline_note = (
+                "chosen tiling failed on hardware; measured on the "
+                "fallback (T=1024, S=8) tiling"
+            )
+        except Exception as exc2:
+            log(f"fallback headline also failed: {exc2!r}")
+            _emit(
+                0.0, 0.0,
+                note=f"engine failure on both tilings: {exc2!r}",
+            )
+            return
+
+    extra = {"note": headline_note} if headline_note else {}
     print(
         json.dumps(
             {
@@ -230,6 +268,7 @@ def main():
                 "vs_baseline": round(
                     sweeps_per_sec / REFERENCE_PROJECTED_SWEEPS_PER_SEC, 1
                 ),
+                **extra,
             }
         ),
         flush=True,

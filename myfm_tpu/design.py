@@ -258,13 +258,23 @@ jax.tree_util.register_dataclass(
 # ---------------------------------------------------------------------------
 
 
-# sweep_strategy="auto" upgrades to the merged joint-row sweep only up
-# to this rank: the hand-unrolled (R+1)-dim Cholesky draw is ~(R+1)³/6
-# vector ops per color step, which is fast at the reference's blocked
-# configs (rank ≤ 10 ⇒ ~10² ops) but balloons the program (and the
-# compile) at the rank-32/128 flagship scales — those designs are
-# one-hot and take the entity-space fast path anyway.
-JOINT_AUTO_MAX_RANK = 16
+# sweep_strategy="auto" upgrades to the merged joint-row sweep up to
+# this rank.  The solver tiers by D' = rank+1 (ops/joint.py
+# solve_spd_sample): D' ≤ 32 uses the hand-unrolled Cholesky (~D'³/6
+# vector ops, traced once in the scan body); D' > 32 uses batched
+# linalg (~300 µs/step — slower per color but still several× the
+# chromatic fallback on 2k-color relational designs).  Program-size
+# control at rank > JOINT_UNROLL_MAX_RANK: the identity-color split
+# (O(R³) inlined lane ops per unrolled color) is disabled and the
+# unrolled dense head is capped at 4 colors (_build_dense_colors).
+# One-hot designs never get here — they take the entity-space fast
+# path first.
+JOINT_AUTO_MAX_RANK = 128
+
+# above this rank the joint compile drops the per-color unrolled
+# fast-step machinery (identity split, wide unrolled head) to keep the
+# traced program bounded
+JOINT_UNROLL_MAX_RANK = 16
 
 
 def _joint_auto_core(rank: int, dtype, group_counts) -> bool:
@@ -447,12 +457,16 @@ def _build_dense_colors(
     dtype: np.dtype,
     max_unrolled_colors: int,
     budget_elements: int,
+    identity_split: bool = True,
 ) -> Tuple[Optional[Tuple[DenseColor, ...]], Optional[DenseStack]]:
     """Dense per-block-row color operands for the joint sweep.
 
     The first ``max_unrolled_colors`` (large) colors become individual
     DenseColors with their own Pf; the tail is stacked with a common Pf
-    for the scan.  Returns (None, None) when C×B exceeds the budget."""
+    for the scan.  Returns (None, None) when C×B exceeds the budget.
+    ``identity_split=False`` (high ranks) skips the single-entry
+    fast-step carve-out, whose unrolled draw is O(rank³) inlined ops
+    per color (ops/joint._identity_color_apply)."""
     B = csc.shape[0]
     if len(groups) * B > budget_elements:
         return None, None
@@ -480,7 +494,7 @@ def _build_dense_colors(
         counts_g = indptr[g + 1] - indptr[g]
         singles_mask = counts_g == 1
         id_xw = id_feat = None
-        if int(singles_mask.sum()) >= IDENTITY_SPLIT_MIN:
+        if identity_split and int(singles_mask.sum()) >= IDENTITY_SPLIT_MIN:
             # single-entry features (e.g. one-hot id columns): draw
             # statistics come straight from their row's Gram entries —
             # split them out of the one-hot machinery entirely
@@ -527,11 +541,16 @@ def _compile_table(
     for_training: bool,
     joint_dense: bool = False,
     dense_budget: int = 64 << 20,
+    joint_rank: Optional[int] = None,
 ):
     """Shared compilation for main tables and block tables.
 
     ``expanded_weight``: per-local-row multiplicity used for the static
     Σx² (1 for the main table, ``cardinality`` for blocks).
+    ``joint_rank``: the model rank the joint operands will be swept at
+    — above JOINT_UNROLL_MAX_RANK the per-color unrolled machinery is
+    trimmed (no identity split, head capped at 4 colors) so the traced
+    program stays bounded.
     """
     n_rows_local, n_cols = X.shape
     coo = X.tocoo()
@@ -566,9 +585,16 @@ def _compile_table(
             groups = greedy_color(csc)
 
         if joint_dense:
+            wide = (
+                joint_rank is not None
+                and joint_rank > JOINT_UNROLL_MAX_RANK
+            )
             dense_colors, dense_stack = _build_dense_colors(
                 csc, groups, col_offset, n_features_total, dtype,
-                max_unrolled_colors, dense_budget,
+                min(max_unrolled_colors, 4) if wide
+                else max_unrolled_colors,
+                dense_budget,
+                identity_split=not wide,
             )
 
         unrolled = groups[:max_unrolled_colors]
@@ -631,6 +657,7 @@ def compile_design(
     for_training: bool = True,
     joint_dense: bool = False,
     dense_budget: int = 64 << 20,
+    joint_rank: Optional[int] = None,
 ) -> DesignPlan:
     """Compile (X, blocks) into a static device plan.
 
@@ -640,7 +667,9 @@ def compile_design(
 
     ``joint_dense``: additionally emit dense block-row color operands
     for the merged joint sweep (ops/joint.py) when each block's
-    n_colors × block_size fits ``dense_budget`` elements.
+    n_colors × block_size fits ``dense_budget`` elements; pass
+    ``joint_rank`` so high-rank compiles trim the unrolled machinery
+    (JOINT_UNROLL_MAX_RANK).
     """
     dtype = np.dtype(dtype)
     if X is None:
@@ -713,6 +742,7 @@ def compile_design(
             for_training,
             joint_dense=joint_dense,
             dense_budget=dense_budget,
+            joint_rank=joint_rank,
         )
         compiled_blocks.append(
             BlockPlan(

@@ -54,10 +54,8 @@ SIDE_DENSE_ELEMS = 1 << 25
 SIDE_MAX_COLORS = 2048
 
 
-# VMEM budget for the Gram kernel's A-matrix scratch (T x S*Dp f32);
-# the A-build holds ~4 temporaries of this size, so keep it well under
-# a quarter of the 16 MB scoped-VMEM limit.
-_A_SCRATCH_BYTES = 3 << 20
+# The Gram-kernel VMEM budget lives next to the kernel whose buffers
+# define it (ops/pallas_gram.fused_gram_vmem_bytes / GRAM_VMEM_BUDGET).
 
 
 def _packed_rows(counts: np.ndarray, T: int, S: int) -> int:
@@ -101,31 +99,38 @@ _GRAM_MXU_NS_PER_ROW_PER_LANE_TILE = 4.0
 _GRAM_TILE_OVERHEAD_NS = 3000.0
 
 
-def choose_tiling(counts: np.ndarray, T: int, S: int, rank: int = 32):
-    """Pick (T, S) minimizing modeled kernel time — MXU lane tiles
-    x pad inflation + per-tile overhead — under the kernel's VMEM
-    budget; returns (T, S, inflation).
+def rank_tilings(counts: np.ndarray, T: int, S: int, rank: int = 32):
+    """All (T, S) candidates under the Gram kernel's modeled VMEM
+    footprint, cheapest-first by the kernel cost model; each entry is
+    (T, S, inflation).
 
     One-hot tables differ hugely in rows-per-entity (ML-10M: items
     ~930, users ~140, dates ~2000), and a tile spanning few entities
     needs a much smaller S => fewer A-matrix lane tiles => a
     proportionally cheaper MXU pass.  Minimizing inflation alone (the
     round-1/2 heuristic) locked dense tables to S=8, paying ~3x the
-    matmul cost for nothing."""
+    matmul cost for nothing.
+
+    The VMEM gate is ops/pallas_gram.fused_gram_vmem_bytes — the REAL
+    per-grid-step footprint with Mosaic's 128-lane padding of every
+    narrow [T, c] operand and double-buffered in/out blocks.  The
+    round-2 model budgeted only the A-scratch and shipped a T=4096
+    tiling that OOM'd the 16 MB scoped VMEM at compile time
+    (BENCH_r02); callers additionally compile-probe the winner and fall
+    back down this ranking on failure (compile_categorical_table)."""
+    from .ops.pallas_gram import GRAM_VMEM_BUDGET, fused_gram_vmem_bytes
+
     n = max(int(counts.sum()), 1)
     Dp = -(-(rank + 2) // 8) * 8  # the kernel's 8-aligned slot stride
-    # wide-D kernels also carry [T, R]-sized operands through double
-    # buffering, so leave them more headroom
-    budget = _A_SCRATCH_BYTES if Dp <= 72 else _A_SCRATCH_BYTES // 2
     cands = {
         (Tc, Sc)
         for Tc in (128, 256, 512, 1024, 2048, 4096)
         for Sc in (1, 2, 4, 8, 16, 32, 64)
     }
     cands.add((T, S))  # caller-provided fallback always considered
-    best = None
+    ranked = []
     for Tc, Sc in sorted(cands):
-        if Tc * Sc * Dp * 4 > budget:
+        if fused_gram_vmem_bytes(Tc, Sc, rank) > GRAM_VMEM_BUDGET:
             continue
         packed = _packed_rows(counts, Tc, Sc)
         infl = packed / n
@@ -138,12 +143,29 @@ def choose_tiling(counts: np.ndarray, T: int, S: int, rank: int = 32):
             + vpu_ns
             + _GRAM_TILE_OVERHEAD_NS / Tc
         )
-        if best is None or ns_per_row < best[0] - 1e-12:
-            best = (ns_per_row, Tc, Sc, infl)
-    if best is None:  # degenerate: very large D — smallest config
-        Tc, Sc = max(T // 4, 128), S
-        return Tc, Sc, _packed_rows(counts, Tc, Sc) / n
-    return best[1], best[2], best[3]
+        ranked.append((ns_per_row, Tc, Sc, infl))
+    if not ranked:  # degenerate: very large D — smallest config
+        Tc, Sc = 128, 1
+        return [(Tc, Sc, _packed_rows(counts, Tc, Sc) / n)]
+    ranked.sort()
+    return [(Tc, Sc, infl) for _, Tc, Sc, infl in ranked]
+
+
+def choose_tiling(counts: np.ndarray, T: int, S: int, rank: int = 32):
+    """Best (T, S, inflation) of rank_tilings."""
+    return rank_tilings(counts, T, S, rank)[0]
+
+
+def choose_tiling_probed(counts: np.ndarray, T: int, S: int,
+                         rank: int = 32):
+    """Best (T, S, inflation) whose kernel compile-probes OK on the
+    live backend (gram_probe_ok is a no-op off-TPU), else None."""
+    from .ops.pallas_gram import gram_probe_ok
+
+    for Tc, Sc, infl in rank_tilings(counts, T, S, rank):
+        if gram_probe_ok(Tc, Sc, rank):
+            return Tc, Sc, infl
+    return None
 
 
 def categorical_mapping(
@@ -562,7 +584,14 @@ def compile_categorical_table(
     if fixed_ts is not None:
         T, S = fixed_ts
     else:
-        T, S, inflation = choose_tiling(counts, T, S, rank)
+        # compile-probe the model's winner on the live backend (no-op
+        # off-TPU) and walk down the ranking on Mosaic rejection — the
+        # VMEM model keeps headroom, but a model must never be able to
+        # crash the engine again (BENCH_r02 post-mortem)
+        chosen = choose_tiling_probed(counts, T, S, rank)
+        if chosen is None:
+            return None
+        T, S, inflation = chosen
         if max_inflation is not None and inflation > max_inflation:
             # pathological cardinality profile (e.g. one row per entity
             # at huge B): let the caller fall back to the colored path
@@ -776,10 +805,13 @@ def try_compile_categorical(
     rank: int = 32,
     max_inflation: float = 4.0,
     allow_side: bool = False,
+    fixed_ts: Optional[Tuple[int, int]] = None,
 ) -> Optional[CategoricalPlan]:
     """Compile the fast-path plan, or None if any table is neither
     one-hot nor (with ``allow_side``) an entity+attribute block.
-    Mirrors compile_design's grouping semantics."""
+    Mirrors compile_design's grouping semantics.  ``fixed_ts`` pins
+    every table's (T, S) — the bench's known-good fallback when the
+    chosen tiling fails on hardware."""
     dtype = np.dtype(dtype)
     extracted = extract_categorical_mappings(
         X, blocks, grouping, dtype, allow_side=allow_side
@@ -802,7 +834,7 @@ def try_compile_categorical(
     for ent, B, off in mappings:
         tab = compile_categorical_table(
             ent, B, off, n_rows, dtype, T=T, S=S, rank=rank,
-            max_inflation=max_inflation,
+            max_inflation=max_inflation, fixed_ts=fixed_ts,
         )
         if tab is None:
             return None
@@ -814,7 +846,7 @@ def try_compile_categorical(
             return None
         tab = compile_categorical_table(
             ent, B, int(col_ids[0]), n_rows, dtype, T=T, S=S,
-            rank=rank, max_inflation=max_inflation,
+            rank=rank, max_inflation=max_inflation, fixed_ts=fixed_ts,
         )
         if tab is None:
             return None

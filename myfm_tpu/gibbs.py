@@ -204,6 +204,7 @@ class MyFMGibbsBase(MyFMBase):
                 ),
                 max_unrolled_colors=self.max_unrolled_colors,
                 joint_dense=want_joint,
+                joint_rank=rank,
             )
             use_joint = use_joint or (
                 want_joint and joint_auto_eligible(plan, rank,

@@ -333,6 +333,106 @@ def fused_tile_gram(
     return out.reshape(K * S, Dp, D), carry_out
 
 
+def _padded_tile_bytes(r: int, c: int, itemsize: int = 4) -> int:
+    """Bytes of one [r, c] VMEM buffer after Mosaic tiling: the minor
+    (lane) dim pads to 128, the second-minor (sublane) dim to 8."""
+    return (-(-r // 8) * 8) * (-(-c // 128) * 128) * itemsize
+
+
+def fused_gram_vmem_bytes(
+    T: int, S: int, q_cols: int, w_cols: Optional[int] = None,
+    itemsize: int = 4,
+) -> int:
+    """Modeled scoped-VMEM footprint of one ``fused_tile_gram`` grid
+    step.  Every [T, c] operand pads its lane dim to 128 — so the
+    narrow ``slot`` [T, 1] and ``meta`` [T, 3] blocks cost as much as a
+    [T, 128] array — and Mosaic double-buffers the per-grid-step input
+    and output blocks.  The round-2 cost model budgeted only the
+    A-scratch (T*S*Dp*4) and missed all of this, shipping a T=4096
+    tiling whose true footprint (~16.9 MB modeled, 16.04 MB measured)
+    blew the 16 MB scoped-VMEM limit at compile time (BENCH_r02)."""
+    D = q_cols + 2
+    Dp = -(-D // 8) * 8
+    if w_cols is None:
+        w_cols = 1 + q_cols
+    tile = _padded_tile_bytes
+    dd = tile(D, D, itemsize)
+    double_buffered = (
+        # inputs: slot [T,1], meta [T,3], q [T,q_cols], wvsl [S,w_cols],
+        # carry_in [D,D]
+        tile(T, 1, itemsize)
+        + tile(T, 3, itemsize)
+        + tile(T, q_cols, itemsize)
+        + tile(S, w_cols, itemsize)
+        + dd
+        # outputs: partial Grams [S*Dp, D], carry_out [D,D]
+        + tile(S * Dp, D, itemsize)
+        + dd
+    )
+    scratch = (
+        tile(T, S * Dp, itemsize)  # A matrix
+        + tile(T, Dp, itemsize)  # z
+        + dd  # carry
+    )
+    return 2 * double_buffered + scratch
+
+
+# Scoped-VMEM budget for choose_tiling candidates: the hardware limit
+# is 16 MiB; keep ~2 MiB headroom for Mosaic's own stack allocations
+# beyond the modeled buffers.
+GRAM_VMEM_BUDGET = 14 << 20
+
+_gram_probe_cache: dict = {}
+
+
+def gram_probe_ok(T: int, S: int, q_cols: int,
+                  w_cols: Optional[int] = None, dtype=None) -> bool:
+    """Compile-probe ``fused_tile_gram`` at (T, S, operand widths) on
+    the live backend; False if Mosaic rejects it (e.g. scoped-VMEM
+    OOM).  The probe grid K MUST be production-sized: measured on v5e,
+    the T=4096/S=2 config that OOM'd BENCH_r02 compiles fine at K≤8
+    (the pipeliner skips double-buffering on tiny grids) and only
+    fails from K=64 up — so a tiny-K probe would green-light the very
+    config that crashed.  512 is the ceiling of the sweep's
+    chunk_tiles (design_categorical.CHUNK_ROWS / T for every T the
+    ranking emits).  Cached per process; off-TPU (tests run the kernel
+    in interpret mode) the probe is a no-op True."""
+    if jax.default_backend() != "tpu":
+        return True
+    if w_cols is None:
+        w_cols = 1 + q_cols
+    if dtype is None:
+        dtype = jnp.float32
+    key = (jax.default_backend(), T, S, q_cols, w_cols,
+           jnp.dtype(dtype).name)
+    hit = _gram_probe_cache.get(key)
+    if hit is not None:
+        return hit
+    K = 512
+    D = q_cols + 2
+    ok = True
+    try:
+        args = (
+            jax.ShapeDtypeStruct((K, T, 3), dtype),
+            jax.ShapeDtypeStruct((K, T, q_cols), dtype),
+            jax.ShapeDtypeStruct((K, T), jnp.int32),
+            jax.ShapeDtypeStruct((K, S, w_cols), dtype),
+            jax.ShapeDtypeStruct((K,), jnp.int32),
+            jax.ShapeDtypeStruct((K,), jnp.int32),
+            jax.ShapeDtypeStruct((K,), jnp.int32),
+            jax.ShapeDtypeStruct((D, D), dtype),
+        )
+        jax.jit(
+            lambda m, q, sl, w, ci, co, ls, cy: fused_tile_gram(
+                m, q, sl, w, ci, co, ls, S=S, carry_in=cy
+            )
+        ).lower(*args).compile()
+    except Exception:
+        ok = False
+    _gram_probe_cache[key] = ok
+    return ok
+
+
 def fused_tile_gram_reference(
     meta, q_other, slot, wvsl, cont_in, cont_out, last_slot, S,
     carry_in=None,

@@ -98,6 +98,7 @@ def shard_design(
     strategy: str = "auto",
     max_unrolled_colors: int = 16,
     joint_dense: bool = False,
+    joint_rank: Optional[int] = None,
 ) -> Tuple[DesignPlan, DesignPlan, np.ndarray]:
     """Compile globally, then shard by rows.
 
@@ -108,7 +109,7 @@ def shard_design(
     plan = compile_design(
         X, blocks, grouping=grouping, dtype=dtype, strategy=strategy,
         max_unrolled_colors=max_unrolled_colors, for_training=True,
-        joint_dense=joint_dense,
+        joint_dense=joint_dense, joint_rank=joint_rank,
     )
     n = plan.n_rows
     n_local = -(-n // n_devices)  # ceil
@@ -324,6 +325,7 @@ class ShardedGibbsTrainer:
             X, X_rel, grouping, n_devices, dtype=self.dtype,
             strategy=strategy, max_unrolled_colors=max_unrolled_colors,
             joint_dense=cfg.joint_rows or joint_auto,
+            joint_rank=rank,
         )
         from ..design import joint_auto_eligible
         from ..trainer import _resolve_joint_pallas_tail

@@ -37,7 +37,7 @@ except ImportError:  # pragma: no cover
 from ..design_categorical import (
     CategoricalPlan,
     CategoricalTable,
-    choose_tiling,
+    choose_tiling_probed,
     compile_categorical_table,
     compile_side_info,
     extract_categorical_mappings,
@@ -100,14 +100,17 @@ def compile_sharded_categorical(
 
     n_local = -(-n_rows // n_devices)
 
-    # one (T, S) per table, chosen from global cardinalities
-    tilings = [
-        choose_tiling(
-            np.bincount(ent, minlength=B),
-            1024, 8, rank,
-        )[:2]
-        for ent, B, _ in mappings
-    ]
+    # one (T, S) per table, chosen from global cardinalities and
+    # compile-probed on the live backend so every shard agrees on a
+    # tiling that Mosaic accepts
+    tilings = []
+    for ent, B, _ in mappings:
+        chosen = choose_tiling_probed(
+            np.bincount(ent, minlength=B), 1024, 8, rank
+        )
+        if chosen is None:
+            return None
+        tilings.append(chosen[:2])
 
     # compile per device with masked row padding
     dev_tables = []  # [n_dev][n_tables]

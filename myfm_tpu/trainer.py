@@ -207,9 +207,13 @@ def _resolve_joint_pallas_tail(
                         if b.dense_stack is not None
                     }
                 ) or []
+            # the tail kernel inlines an O(D³) unrolled Cholesky per
+            # color — beyond D = 34 (rank 32) the Mosaic compile
+            # balloons, and the lax.scan tail with the batched-linalg
+            # solver is the sane engine anyway
             use = bool(dims_list) and all(
-                hw_self_check(dims=d) for d in dims_list
-            )
+                d is None or d[0] <= 34 for d in dims_list
+            ) and all(hw_self_check(dims=d) for d in dims_list)
         return dataclasses.replace(cfg, joint_pallas_tail=use)
     if cfg.joint_pallas_tail is True:
         if jax.default_backend() != "tpu":

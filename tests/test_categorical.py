@@ -393,20 +393,23 @@ def test_choose_tiling_cost_model():
     """Dense tables (rows-per-entity >> T) must get a small S — the
     Gram kernel's MXU cost per row scales with ceil(S*Dp/128) — while
     scattered tables keep pad inflation bounded, and every choice
-    respects the A-scratch VMEM budget."""
+    respects the kernel's REAL modeled VMEM footprint."""
     from myfm_tpu.design_categorical import (
-        _A_SCRATCH_BYTES,
         choose_tiling,
+        rank_tilings,
         _packed_rows,
     )
+    from myfm_tpu.ops.pallas_gram import (
+        GRAM_VMEM_BUDGET,
+        fused_gram_vmem_bytes,
+    )
 
-    Dp = 40  # rank 32
     # items-like: ~930 rows per entity
     counts = np.full(10_000, 930, dtype=np.int64)
     T, S, infl = choose_tiling(counts, 1024, 8, rank=32)
     assert S <= 2, (T, S, infl)
     assert infl <= 1.3
-    assert T * S * Dp * 4 <= _A_SCRATCH_BYTES
+    assert fused_gram_vmem_bytes(T, S, 32) <= GRAM_VMEM_BUDGET
 
     # scattered: one row per entity — S must grow to keep inflation
     # sane, and the returned inflation matches the packing exactly
@@ -414,7 +417,7 @@ def test_choose_tiling_cost_model():
     T1, S1, infl1 = choose_tiling(counts1, 1024, 8, rank=32)
     assert S1 >= 16, (T1, S1, infl1)
     assert infl1 == _packed_rows(counts1, T1, S1) / 50_000
-    assert T1 * S1 * Dp * 4 <= _A_SCRATCH_BYTES
+    assert fused_gram_vmem_bytes(T1, S1, 32) <= GRAM_VMEM_BUDGET
 
     # mixed heavy-tail: never worse than the old default on the model,
     # and the packing stays exact for whatever was chosen
@@ -423,3 +426,34 @@ def test_choose_tiling_cost_model():
     T2, S2, infl2 = choose_tiling(counts2, 1024, 8, rank=32)
     n2 = counts2.sum()
     assert infl2 == _packed_rows(counts2, T2, S2) / n2
+
+
+def test_tiling_vmem_model_rejects_bench_r02_crash_config():
+    """Regression for the BENCH_r02 scoped-VMEM OOM: the date table
+    (B=1095, ~9.1k rows/entity) was given T=4096/S=2 whose true
+    footprint — with Mosaic's 128-lane padding of the narrow [T, 1] /
+    [T, 3] / [T, R] operands and double-buffered blocks — measured
+    16.04 MiB against the 16 MiB scoped limit.  The footprint model
+    must flag that config, and no ranked candidate may exceed the
+    budget at any supported rank."""
+    from myfm_tpu.design_categorical import rank_tilings
+    from myfm_tpu.ops.pallas_gram import (
+        GRAM_VMEM_BUDGET,
+        fused_gram_vmem_bytes,
+    )
+
+    assert fused_gram_vmem_bytes(4096, 2, 32) > GRAM_VMEM_BUDGET
+    # and well within reach of the hardware 16 MiB limit (the model
+    # must not explain the crash by wild over-estimation)
+    assert fused_gram_vmem_bytes(4096, 2, 32) < (17 << 20)
+
+    rng = np.random.RandomState(0)
+    counts = rng.multinomial(10_000_054, np.ones(1095) / 1095)
+    for rank in (8, 32, 96, 128):
+        ranked = rank_tilings(counts, 1024, 8, rank=rank)
+        assert ranked, rank
+        for T, S, _ in ranked:
+            assert (
+                fused_gram_vmem_bytes(T, S, rank) <= GRAM_VMEM_BUDGET
+            ), (rank, T, S)
+        assert (4096, 2) not in {(T, S) for T, S, _ in ranked}

