@@ -85,18 +85,21 @@ def _packed_rows(counts: np.ndarray, T: int, S: int) -> int:
     return total
 
 
-# Gram-kernel cost model for choose_tiling.  The kernel's dominant
-# cost is the per-tile MXU matmul A[T, S*Dp]^T @ z[T, D] at HIGHEST
-# precision: cycles ~ ceil(S*Dp/128) * T (the D output dim fits one
-# 128-lane tile for every practical rank), so the per-ROW cost scales
-# with ceil(S*Dp/128) and is independent of T — while the per-tile
-# fixed cost (grid-step + DMA issue) amortizes as 1/T.  Constants
-# calibrated against the measured 13.3 us/tile at (T=1024, S=8,
-# D=34, Dp=40) on v5e; re-calibrate with scripts/microbench_gram.py.
-_GRAM_MXU_NS_PER_ROW_PER_LANE_TILE = 4.0
-# conservative until hardware-calibrated: over-estimating the per-tile
-# cost only suppresses small-T configs (never picks a worse matmul)
-_GRAM_TILE_OVERHEAD_NS = 3000.0
+# Gram-kernel cost model for choose_tiling, calibrated on a v5e
+# (scripts/microbench_gram.py grid over T ∈ 512..2048, S ∈ 1..16, and
+# the production trace at 10M rows): per PADDED row,
+#
+#     ns/row ≈ BASE + SLOPE_S·S + OVH/T.
+#
+# The round-2 model (per-lane-tile MXU cycles) is wrong on hardware —
+# measured cost is nearly FLAT in ceil(S·Dp/128) because the matmul
+# streams the T contraction dim; the floor is the 6-pass HIGHEST
+# f32 matmul (~5.5 ns/row at S=1; halved by the bf16-split fast
+# path, ops/pallas_gram).  What remains is a mild S slope (A-build
+# VPU + output tiles) and a per-tile overhead ~0.45 µs.
+_GRAM_BASE_NS_PER_ROW = 5.5
+_GRAM_S_SLOPE_NS = 0.45
+_GRAM_TILE_OVERHEAD_NS = 450.0
 
 
 def rank_tilings(counts: np.ndarray, T: int, S: int, rank: int = 32):
@@ -134,13 +137,9 @@ def rank_tilings(counts: np.ndarray, T: int, S: int, rank: int = 32):
             continue
         packed = _packed_rows(counts, Tc, Sc)
         infl = packed / n
-        lane_tiles = -(-(Sc * Dp) // 128)
-        # A-build VPU cost: ~3 whole-array ops over [T, S*Dp] at
-        # ~4096 elems/cycle — negligible at S=8, real at S>=32
-        vpu_ns = 3.0 * Sc * Dp / 4096.0 * 1.064
         ns_per_row = infl * (
-            _GRAM_MXU_NS_PER_ROW_PER_LANE_TILE * lane_tiles
-            + vpu_ns
+            _GRAM_BASE_NS_PER_ROW
+            + _GRAM_S_SLOPE_NS * Sc
             + _GRAM_TILE_OVERHEAD_NS / Tc
         )
         ranked.append((ns_per_row, Tc, Sc, infl))

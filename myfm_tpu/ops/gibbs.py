@@ -101,6 +101,12 @@ class GibbsConfig:
     # ~2.6 GB -> ~75 MB per sweep at B=80k, rank 128).  Falls back to
     # the psum when the entity count doesn't divide the mesh.
     gram_reduce_scatter: bool = True
+    # fast-path Gram matmul: 3-pass bf16-split (~2x the MXU floor, the
+    # sweep's dominant cost) instead of HIGHEST's 6-pass.  None = auto:
+    # the trainers enable it for float32 on the real TPU after an
+    # on-device self-check (ops/pallas_gram.gram_fast_selfcheck);
+    # True/False force it.
+    gram_fast_matmul: Optional[bool] = None
 
     @property
     def cutpoint_group_classes(self) -> Tuple[int, ...]:

@@ -172,6 +172,7 @@ def _fused_gram_kernel(
     carry_ref,  # [D, D]
     *,
     interpret_build: bool = False,
+    fast_matmul: bool = False,
 ):
     """Fused Gram: reconstructs the own-table contribution via a
     one-hot matmul from the tiny per-tile [S, 1+R] weight slice, builds
@@ -245,14 +246,44 @@ def _fused_gram_kernel(
         a_ref[...] = z_til * (slot[:, None] == s_of_col).astype(
             z.dtype
         )
-    out_ref[0] = jax.lax.dot_general(
-        a_ref[...],
-        z_ref[:, :D],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=meta.dtype,
-        precision=jax.lax.Precision.HIGHEST,  # Mosaic supports only
-        # DEFAULT (bf16) and HIGHEST; HIGH raises NotImplementedError
-    )
+    if fast_matmul:
+        # 3-pass bf16-split Gram matmul: G = A_hi·z_hi + A_hi·z_lo
+        # + A_lo·z_hi (the lo·lo term is below f32 epsilon).  Each
+        # operand splits into hi = bf16(x) and lo = bf16(x − hi), so
+        # the product carries ~16 mantissa bits (~1.5e-5 relative) vs
+        # HIGHEST's 6-pass ~2e-7 — at HALF the MXU passes, which are
+        # the kernel's measured floor (~6.5 ns/row of the ~7 total at
+        # S ≤ 4 on v5e).  Gated by the trainers to float32 on the real
+        # TPU: statistical aggregates over 1e2-1e4 rows carry
+        # sampling noise orders of magnitude above 1e-5 relative; f64
+        # runs and CPU tests keep the HIGHEST path.
+        a = a_ref[...]
+        zd = z_ref[:, :D]
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(a.dtype)).astype(jnp.bfloat16)
+        z_hi = zd.astype(jnp.bfloat16)
+        z_lo = (zd - z_hi.astype(zd.dtype)).astype(jnp.bfloat16)
+
+        def bdot(x, y):
+            return jax.lax.dot_general(
+                x, y,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=meta.dtype,
+            )
+
+        out_ref[0] = bdot(a_hi, z_hi) + bdot(a_hi, z_lo) + bdot(
+            a_lo, z_hi
+        )
+    else:
+        out_ref[0] = jax.lax.dot_general(
+            a_ref[...],
+            z_ref[:, :D],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=meta.dtype,
+            precision=jax.lax.Precision.HIGHEST,  # Mosaic supports
+            # only DEFAULT (bf16) and HIGHEST; HIGH raises
+            # NotImplementedError
+        )
 
     @pl.when(cont_in_ref[g] > 0)
     def _():
@@ -268,7 +299,9 @@ def _fused_gram_kernel(
         carry_out_ref[...] = carry_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("S", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("S", "interpret", "fast_matmul")
+)
 def fused_tile_gram(
     meta: jax.Array,  # [K, T, 3]: [ones | lin−tau(+w0) | qs_other]
     q_other: jax.Array,  # [K, T, R]
@@ -280,6 +313,7 @@ def fused_tile_gram(
     S: int,
     carry_in: Optional[jax.Array] = None,
     interpret: bool = False,
+    fast_matmul: bool = False,
 ):
     """Returns (flat partial Grams [K*S, Dp, D], carry_out [D, D]);
     Dp = D rounded up to a multiple of 8 (rows D..Dp-1 are zero).
@@ -321,7 +355,10 @@ def fused_tile_gram(
         ],
     )
     out, carry_out = pl.pallas_call(
-        functools.partial(_fused_gram_kernel, interpret_build=interpret),
+        functools.partial(
+            _fused_gram_kernel, interpret_build=interpret,
+            fast_matmul=fast_matmul,
+        ),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((K, S * Dp, D), q_other.dtype),
@@ -430,6 +467,58 @@ def gram_probe_ok(T: int, S: int, q_cols: int,
     except Exception:
         ok = False
     _gram_probe_cache[key] = ok
+    return ok
+
+
+_fast_matmul_check_cache: dict = {}
+
+
+def gram_fast_selfcheck(rtol: float = 2e-4) -> bool:
+    """Validate the 3-pass bf16-split Gram matmul against the HIGHEST
+    path ON DEVICE: both compiled for one small random tile problem,
+    all Gram entries within ``rtol`` of the 6-pass result (theoretical
+    split error ~1.5e-5 relative; the gate leaves an order of
+    magnitude of headroom).  False disables the fast path.  Cached per
+    backend per process; False off-TPU."""
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    hit = _fast_matmul_check_cache.get(backend)
+    if hit is not None:
+        return hit
+    if backend != "tpu":
+        _fast_matmul_check_cache[backend] = False
+        return False
+    ok = False
+    try:
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        K, T, S, R = 4, 256, 4, 32
+        meta = rng.normal(size=(K, T, 3)).astype(np.float32)
+        meta[:, :, 0] = 1.0
+        q = (rng.normal(size=(K, T, R)) * 0.3).astype(np.float32)
+        slot = rng.randint(0, S, (K, T)).astype(np.int32)
+        slot.sort(axis=1)
+        wvsl = (rng.normal(size=(K, S, 1 + R)) * 0.3).astype(
+            np.float32
+        )
+        ci = np.zeros(K, np.int32)
+        co = np.zeros(K, np.int32)
+        ls = np.full(K, S - 1, np.int32)
+        args = tuple(
+            jnp.asarray(a) for a in (meta, q, slot, wvsl, ci, co, ls)
+        )
+        hi, _ = fused_tile_gram(*args, S=S)
+        fast, _ = fused_tile_gram(*args, S=S, fast_matmul=True)
+        hi = np.asarray(hi)
+        fast = np.asarray(fast)
+        scale = np.abs(hi).max()
+        ok = bool(np.abs(fast - hi).max() <= rtol * scale)
+    except Exception:
+        ok = False
+    _fast_matmul_check_cache[backend] = ok
     return ok
 
 

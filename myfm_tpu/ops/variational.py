@@ -55,6 +55,10 @@ class VariationalConfig:
     axis_name: Optional[str] = None
     n_devices: int = 1
     gram_reduce_scatter: bool = True
+    # fast-path Gram matmul (mirrors GibbsConfig.gram_fast_matmul):
+    # None = auto-enable the 3-pass bf16-split for f32 on the real TPU
+    # after the on-device self-check; True/False force it.
+    gram_fast_matmul: Optional[bool] = None
 
 
 @dataclasses.dataclass

@@ -231,6 +231,27 @@ def _resolve_joint_pallas_tail(
     return cfg
 
 
+def _resolve_gram_fast_matmul(cfg, dtype):
+    """Resolve gram_fast_matmul=None (auto): enable the 3-pass
+    bf16-split Gram matmul for float32 on the real TPU backend after
+    the on-device self-check (ops/pallas_gram.gram_fast_selfcheck);
+    anything else keeps the HIGHEST 6-pass path.  f64 runs and CPU
+    tests are never switched."""
+    import dataclasses
+
+    if cfg.gram_fast_matmul is not None:
+        return cfg
+    use = False
+    if (
+        np.dtype(dtype) == np.float32
+        and jax.default_backend() == "tpu"
+    ):
+        from .ops.pallas_gram import gram_fast_selfcheck
+
+        use = gram_fast_selfcheck()
+    return dataclasses.replace(cfg, gram_fast_matmul=use)
+
+
 class GibbsTrainer:
     def __init__(
         self,
@@ -346,6 +367,7 @@ class CategoricalGibbsTrainer:
 
         self.plan = plan
         cfg = _resolve_joint_pallas_tail(cfg, dtype)
+        cfg = _resolve_gram_fast_matmul(cfg, dtype)
         self.cfg = cfg
         self.rank = rank
         self.init_stdev = init_stdev

@@ -82,8 +82,10 @@ class CategoricalVITrainer:
             init_categorical_vi_state,
         )
 
+        from .trainer import _resolve_gram_fast_matmul
+
         self.plan = plan
-        self.cfg = cfg
+        self.cfg = _resolve_gram_fast_matmul(cfg, dtype)
         self.rank = rank
         self.init_stdev = init_stdev
         self.random_seed = random_seed
