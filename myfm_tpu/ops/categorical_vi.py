@@ -98,6 +98,107 @@ def _ext_rows(w, w_var, V, V_var, t2: CategoricalTable, idx):
     return _pad_zero_row(ext)[idx]
 
 
+@dataclasses.dataclass
+class _VIEff:
+    """Per-entity VI reductions of one entity+attribute table's side
+    features (the variational analogue of ops/categorical.eff_tables;
+    reference second/fourth-moment caches, variational.hpp:556-833).
+
+    With xs the dense [B, Fs] side matrix, w̄/w_var/V̄/s the side
+    features' posterior moments:
+
+        ext  [B, 2+3R]: [Σxw̄ | Σx²wvar | Σxv̄ | Σx²s | Σx³sv̄]
+                        (the _ext_rows layout: one-hot consumers read
+                        σ = Var(q) from the Σx²s block and their Cov
+                        term / the refresh A5 from the x³-weighted sv̄
+                        block — all three weightings coincide at x = 1)
+        a1   [B, R]:    Σ x s        (x¹-weighted variance sum — the
+                        EA Gram's `a` column)
+        b2   [B, R]:    Σ x² s v̄    (the EA Gram's `b` column)
+        qs   [B]:       Σ_r Σ_j x²v̄²  (the per-row Σx²V̄² that one-hot
+                        consumers reconstruct as ΣṼ² — ds = qs − ΣṼ²)
+        x4s2 [B]:       Σ_r Σ x⁴ s²   (refresh A4, summed over r)
+        x4sv2 [B]:      Σ_r Σ x⁴ s v̄² (refresh A7, summed over r)
+    """
+
+    ext: jax.Array
+    a1: jax.Array
+    b2: jax.Array
+    qs: jax.Array
+    x4s2: jax.Array
+    x4sv2: jax.Array
+
+
+def vi_eff_tables(plan: CategoricalPlan, w, w_var, V, V_var):
+    """Per-table VI effective arrays: None for one-hot tables, a
+    ``_VIEff`` for entity+attribute tables."""
+    hi = jax.lax.Precision.HIGHEST
+    out = []
+    for t, si in zip(plan.tables, plan.side):
+        if si is None:
+            out.append(None)
+            continue
+        w_s = w[si.feat_cols]
+        wv_s = w_var[si.feat_cols]
+        V_s = V[si.feat_cols]
+        s_s = V_var[si.feat_cols]
+        xs = si.xs
+        xs2 = xs * xs
+        xs3 = xs2 * xs
+        xs4 = xs2 * xs2
+
+        def mm(m, a):
+            return jnp.matmul(m, a, precision=hi)
+
+        w_eff = mm(xs, w_s)
+        wvar_eff = mm(xs2, wv_s)
+        V_eff = mm(xs, V_s)
+        c_eff = mm(xs2, s_s)  # Σx²s (σ slot)
+        t_eff = mm(xs3, s_s * V_s)  # Σx³sv̄ (τ slot)
+        ext = jnp.concatenate(
+            [w_eff[:, None], wvar_eff[:, None], V_eff, c_eff, t_eff],
+            axis=1,
+        )
+        out.append(
+            _VIEff(
+                ext=ext,
+                a1=mm(xs, s_s),
+                b2=mm(xs2, s_s * V_s),
+                qs=jnp.sum(mm(xs2, V_s * V_s), axis=1),
+                x4s2=jnp.sum(mm(xs4, s_s * s_s), axis=1),
+                x4sv2=jnp.sum(mm(xs4, s_s * V_s * V_s), axis=1),
+            )
+        )
+    return out
+
+
+def _vi_other_gather(w, w_var, V, V_var, t2: CategoricalTable,
+                     eff2: Optional[_VIEff], idx, rank: int):
+    """One other-table contribution at gathered rows.
+
+    Returns (ext [n, 2+3R], qs [n], a1 [n, R], b2 [n, R]): the
+    _ext_rows layout (σ = Σx²s, τ = Σx³sv̄), the per-row Σx²V̄², the
+    x¹-weighted variance sum, and the x²-weighted sv̄ sum.  For one-hot
+    tables (x = 1) a1 = σ and b2 = τ."""
+    if eff2 is None:
+        ext = _ext_rows(w, w_var, V, V_var, t2, idx)
+        Vg = ext[:, 2 : 2 + rank]
+        sg = ext[:, 2 + rank : 2 + 2 * rank]
+        svg = ext[:, 2 + 2 * rank :]
+        return ext, jnp.sum(Vg * Vg, axis=1), sg, svg
+    packed = jnp.concatenate(
+        [eff2.ext, eff2.qs[:, None], eff2.a1, eff2.b2], axis=1
+    )
+    rows = _pad_zero_row(packed)[idx]
+    W = eff2.ext.shape[1]
+    return (
+        rows[:, :W],
+        rows[:, W],
+        rows[:, W + 1 : W + 1 + rank],
+        rows[:, W + 1 + rank :],
+    )
+
+
 def _vi_table_pass(
     plan: CategoricalPlan,
     ti: int,
@@ -109,6 +210,7 @@ def _vi_table_pass(
     tau_tile,  # [NT] mean target in this table's tile order (pad 0)
     cfg: VariationalConfig,
     interpret: bool,
+    eff=None,  # vi_eff_tables result (EA designs)
 ):
     """One table's CAVI w update + factor scan in entity space."""
     t = plan.tables[ti]
@@ -160,7 +262,13 @@ def _vi_table_pass(
         fin_idx=t.fin_idx,
         fin_mask=t.fin_mask,
     )
-    others = [t2 for t2i, t2 in enumerate(plan.tables) if t2i != ti]
+    if eff is None:
+        eff = [None] * len(plan.tables)
+    others = [
+        (t2, eff[t2i])
+        for t2i, t2 in enumerate(plan.tables)
+        if t2i != ti
+    ]
 
     def chunk_body(carry, xc):
         gram_carry, G = carry
@@ -171,12 +279,14 @@ def _vi_table_pass(
         qs_o = jnp.zeros((Kc * T,), dtype)
         sig_o = jnp.zeros((Kc * T, rank), dtype)
         sv_o = jnp.zeros((Kc * T, rank), dtype)
-        for t2, mc in zip(others, xc["cross"]):
-            gth = _ext_rows(w, w_var, V, V_var, t2, mc.reshape(Kc * T))
+        for (t2, eff2), mc in zip(others, xc["cross"]):
+            gth, qs2, _, _ = _vi_other_gather(
+                w, w_var, V, V_var, t2, eff2, mc.reshape(Kc * T), rank
+            )
             lin_o = lin_o + gth[:, 0]
             Vg = gth[:, 2 : 2 + rank]
             Q_o = Q_o + Vg
-            qs_o = qs_o + jnp.sum(Vg * Vg, axis=1)
+            qs_o = qs_o + qs2
             sig_o = sig_o + gth[:, 2 + rank : 2 + 2 * rank]
             sv_o = sv_o + gth[:, 2 + 2 * rank :]
         lin_tau = ones_c * w0 + lin_o - xc["tau"].reshape(Kc * T)
@@ -190,6 +300,7 @@ def _vi_table_pass(
             meta, q_ext, xc["slot"], xc["wvsl"],
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
             carry_in=gram_carry, interpret=interpret,
+            fast_matmul=bool(cfg.gram_fast_matmul),
         )
         vals = flat_c[xc["fin_idx"]][:, :D, :]
         win = xc["fin_win"]
@@ -351,20 +462,450 @@ def _vi_entity_updates(G, w_t, wv_t, V_t, s_t, g_t,
     return w_new, wv_new, V_new, s_new
 
 
+def _update_gram_lanes_u(G, s_vec, u_vec, D):
+    """Ĝ ← T Ĝ Tᵀ in flat lanes-major [D·D, B] layout for the VI
+    entity+attribute transform T = I + e₁ sᵀ + u e₀ᵀ.
+
+    Generalizes ops/joint._update_gram_lanes (where u = ŝ): the VI
+    z-rows carry variance-sum columns (a = Σxs, b = Σx²sv̄, c = Σx²s)
+    whose per-update shifts are CONSTANT per block row — they ride the
+    z₀ = 1 column through u, exactly like the factor-mean shifts.
+    Expansion (g = Ĝs, r₀ = Ĝe₀):
+        Ĝ' = Ĝ + e₁pᵀ + pe₁ᵀ + urᵀ + ruᵀ,
+        p = g + (sᵀr₀)u + ½(sᵀg)e₁,   r = r₀ + ½Ĝ₀₀u.
+    """
+    import numpy as _np
+
+    B = G.shape[1]
+    dtype = G.dtype
+    II = _np.arange(D * D) // D
+    JJ = _np.arange(D * D) % D
+    r_sum = jnp.asarray(
+        (II[None, :] == _np.arange(D)[:, None]), dtype
+    )
+    g = jnp.einsum(
+        "dk,kb->db", r_sum, G * s_vec[JJ],
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [D, B] = Ĝ·s
+    sgs = jnp.sum(s_vec * g, axis=0)
+    p = (g + g[0:1] * u_vec).at[1].add(0.5 * sgs)
+    col0 = G[_np.arange(D) * D]  # Ĝ[:, 0]
+    r = col0 + 0.5 * col0[0:1] * u_vec
+    m_i1 = jnp.asarray((II == 1), dtype)[:, None]
+    m_j1 = jnp.asarray((JJ == 1), dtype)[:, None]
+    corr = (
+        m_i1 * p[JJ]
+        + p[II] * m_j1
+        + u_vec[II] * r[JJ]
+        + r[II] * u_vec[JJ]
+    )
+    return G + corr
+
+
+def _vi_dense_color_step(G, xw, segb, u0, s0, lam, mu, alpha, rank,
+                         fit_linear: bool):
+    """One entity+attribute VI color: exact sequential CAVI updates of
+    every feature's (w, V_1..V_R) coordinates, vectorized over the
+    color's features (row-disjoint), followed by the Ĝ ← T Ĝ Tᵀ
+    evolution so later colors see exact post-update statistics.
+
+    ``G`` is the flat lanes-major [D·D, B] Gram over
+    z = [1 | e | q (R) | a (R) | b (R) | c (R)], D = 4R+2, with
+    a = Σ_k x_k s_k, b = Σ_k x_k² s_k v̄_k, c = Σ_k x_k² s_k over ALL
+    features (own-feature borders subtracted below).  Derivation: for
+    coordinate v = V_jr the score is linear, score = c_n + h_n v with
+    h = xφ_r, so the CAVI update is
+        quad = α Σ(E[h²] = x²φ̄² + x²σ^{-j})+ λ
+        lin  = α Σ(−h̄e + v̄(h̄² + Var h) − Cov(h, score)) + λμ
+    with Cov(h, score) = x_j[q̄_r(a_r − x_j s_jr) − (b_r − x_j²s_jr v̄_jr)]
+    (reference per-coordinate VI scan with the x2s/x3sv caches,
+    variational.hpp:450-713, re-derived against the Gram).  Sequential
+    exactness inside a feature: the w update shifts Σxeφ_r by
+    Δw·Σx²φ_r, factor r shifts Σxeφ_r' by Δv_r·Σx²φ_rφ_r' — both read
+    off the same Gram aggregates.
+
+    Returns (u_new [Pf, 1+R], var_new [Pf, 1+R], G)."""
+    dtype = G.dtype
+    Pf = u0.shape[0]
+    R = rank
+    D = 4 * R + 2
+    B = xw.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+
+    oh = jax.nn.one_hot(segb, Pf + 1, dtype=dtype)[:, :Pf]  # [B, Pf]
+    x2 = xw * xw
+    wq = jnp.concatenate(
+        [
+            x2[:, None] * oh,
+            (x2 * xw)[:, None] * oh,
+            (x2 * x2)[:, None] * oh,
+            xw[:, None] * oh,
+        ],
+        axis=1,
+    )  # [B, 4Pf]
+    TT = jnp.einsum("kb,bq->kq", G, wq, precision=hi).reshape(
+        D, D, 4 * Pf
+    )
+    G2 = TT[..., :Pf]          # Σx²Ĝ [D, D, Pf]
+    S30 = TT[0, :, Pf : 2 * Pf]  # Σx³Ĝ[0,:] [D, Pf]
+    x4c = TT[0, 0, 2 * Pf : 3 * Pf]  # Σx⁴ [Pf]
+    W1 = TT[..., 3 * Pf :]     # ΣxĜ [D, D, Pf]
+
+    card2 = G2[0, 0]
+    s3c = S30[0]
+    sxe = W1[1, 0]   # Σxe
+    sx2e = G2[0, 1]  # Σx²e
+
+    w_old = u0[:, 0]
+    vT = u0[:, 1:].T      # [R, Pf] v̄ (old)
+    sT = s0[:, 1:].T      # [R, Pf] s (old)
+    lam_w = lam[:, 0]
+    mu_w = mu[:, 0]
+    lam_V = lam[:, 1:].T
+    mu_V = mu[:, 1:].T
+
+    cq = lambda r: 2 + r
+    ca = lambda r: 2 + R + r
+    cb = lambda r: 2 + 2 * R + r
+    cc = lambda r: 2 + 3 * R + r
+
+    # Σx²φ_r and Σxeφ_r with the v̄ borders (φ_r = q_r − x v̄_jr)
+    Sphi = [G2[0, cq(r)] - vT[r] * s3c for r in range(R)]
+    Exephi = [W1[1, cq(r)] - vT[r] * sx2e for r in range(R)]
+
+    if fit_linear:
+        quad_w = alpha * card2 + lam_w
+        lin_w = alpha * (card2 * w_old - sxe) + lam_w * mu_w
+        w_new = lin_w / quad_w
+        wv_new = 1.0 / quad_w
+        dw = w_new - w_old
+        Exephi = [Exephi[r] + dw * Sphi[r] for r in range(R)]
+    else:
+        w_new, wv_new = w_old, s0[:, 0]
+        dw = jnp.zeros_like(w_old)
+
+    v_new_l, s_new_l, dv_l = [], [], []
+    for r in range(R):
+        Sphi2 = (
+            G2[cq(r), cq(r)]
+            - 2.0 * vT[r] * S30[cq(r)]
+            + vT[r] * vT[r] * x4c
+        )
+        sig = G2[0, cc(r)] - sT[r] * x4c  # Σx²σ^{-j}
+        quad = alpha * (Sphi2 + sig) + lam_V[r]
+        covx = (
+            W1[cq(r), ca(r)]
+            - sT[r] * G2[0, cq(r)]
+            - W1[0, cb(r)]
+            + sT[r] * vT[r] * s3c
+        )
+        lin = (
+            alpha
+            * (
+                -Exephi[r]
+                + vT[r] * Sphi2
+                + vT[r] * sig
+                - covx
+            )
+            + lam_V[r] * mu_V[r]
+        )
+        v_new = lin / quad
+        s_new = 1.0 / quad
+        dv = v_new - vT[r]
+        for r2 in range(r + 1, R):
+            # Σx²φ_rφ_r' (both borders at OLD v̄ — q columns still
+            # hold pre-color values)
+            cross = (
+                G2[cq(r), cq(r2)]
+                - vT[r] * S30[cq(r2)]
+                - vT[r2] * S30[cq(r)]
+                + vT[r] * vT[r2] * x4c
+            )
+            Exephi[r2] = Exephi[r2] + dv * cross
+        v_new_l.append(v_new)
+        s_new_l.append(s_new)
+        dv_l.append(dv)
+
+    if R:
+        dV = jnp.stack(dv_l, axis=0)        # [R, Pf]
+        V_new = jnp.stack(v_new_l, axis=0)  # [R, Pf]
+        S_new = jnp.stack(s_new_l, axis=0)
+        dS = S_new - sT
+        dSV = S_new * V_new - sT * vT
+        c0 = jnp.sum(vT * dV, axis=0)       # v̄_old·Δv per feature
+    else:
+        dV = V_new = S_new = dS = dSV = jnp.zeros((0, Pf), dtype)
+        c0 = jnp.zeros((Pf,), dtype)
+
+    # B-space update coefficients (one feature per row within a color)
+    dwB = jnp.einsum("bp,p->b", oh, dw, precision=hi)
+    c0B = jnp.einsum("bp,p->b", oh, c0, precision=hi)
+    a0 = xw * dwB - x2 * c0B
+    A_q = jnp.einsum("bp,rp->rb", oh, dV, precision=hi) * xw[None]
+    dS_B = jnp.einsum("bp,rp->rb", oh, dS, precision=hi)
+    dSV_B = jnp.einsum("bp,rp->rb", oh, dSV, precision=hi)
+    zeros1 = jnp.zeros((1, B), dtype)
+    s_vec = jnp.concatenate(
+        [a0[None], zeros1, A_q, jnp.zeros((3 * R, B), dtype)], axis=0
+    )
+    u_vec = jnp.concatenate(
+        [
+            zeros1, zeros1, A_q,
+            dS_B * xw[None],        # Δa = x Δs
+            dSV_B * x2[None],       # Δb = x² Δ(s v̄)
+            dS_B * x2[None],        # Δc = x² Δs
+        ],
+        axis=0,
+    )
+    G = _update_gram_lanes_u(G, s_vec, u_vec, D)
+
+    u_new = jnp.concatenate([w_new[:, None], V_new.T], axis=1)
+    var_new = jnp.concatenate([wv_new[:, None], S_new.T], axis=1)
+    return u_new, var_new, G
+
+
+def _vi_ea_table_pass(
+    plan: CategoricalPlan,
+    ti: int,
+    w, w_var, V, V_var,
+    w0,
+    alpha,
+    lambda_w, mu_w, lambda_V, mu_V,
+    group_index,
+    tau_tile,
+    cfg: VariationalConfig,
+    interpret: bool,
+    eff,
+):
+    """Entity+attribute table pass for CAVI: the side features'
+    coordinates are updated color by color in entity space, mirroring
+    the Gibbs _ea_table_pass (ops/categorical.py) with variance
+    bookkeeping.
+
+    The tile kernel builds the per-block-row Gram over
+    z = [1 | e | φ_o | a_o | b_o | c_o] from the OTHER tables'
+    contributions (D = 4R+2); converting with the own-table per-entity
+    constants (Ṽ and the ã/b̃/c̃ variance reductions ride the z₀ = 1
+    column: G ← (I + Ue₀ᵀ) G (I + e₀Uᵀ)) yields the total-statistics
+    Gram the color steps consume."""
+    si = plan.side[ti]
+    t = plan.tables[ti]
+    rank = V.shape[1]
+    D = 4 * rank + 2
+    K = t.n_tiles
+    T = t.tile_rows
+    dtype = V.dtype
+    S = t.tile_entities
+    Kc = t.chunk_tiles
+    n_chunks = -(-K // Kc)
+    Kp = n_chunks * Kc
+    max_fin = t.max_fin
+    B = t.n_cols
+    own = eff[ti]
+
+    # own mean rows for in-kernel score reconstruction ([w̃ | Ṽ]) and
+    # the own QS−Q̃² correction folded into the qs operand
+    own_rows = jnp.concatenate(
+        [own.ext[:, 0:1], own.ext[:, 2 : 2 + rank]], axis=1
+    )
+    wvsl = _pad_zero_row(own_rows)[t.ent_slots]  # [K, S, 1+R]
+    ds_pad = _pad_zero_row(
+        (own.qs - jnp.sum(own.ext[:, 2 : 2 + rank] ** 2, axis=1))[
+            :, None
+        ]
+    )
+
+    def pad_k(arr, fill, tile_shape):
+        flat = arr.reshape((K,) + tile_shape)
+        if Kp != K:
+            pad = jnp.full(((Kp - K),) + tile_shape, fill, flat.dtype)
+            flat = jnp.concatenate([flat, pad])
+        return flat.reshape((n_chunks, Kc) + tile_shape)
+
+    xs = dict(
+        src=pad_k(t.src, plan.n_rows, (T,)),
+        slot=pad_k(t.slot, 0, (T,)),
+        cont_in=pad_k(t.cont_in, 0, ()),
+        cont_out=pad_k(t.cont_out, 0, ()),
+        last_slot=pad_k(t.last_slot, 0, ()),
+        wvsl=pad_k(wvsl, 0.0, (S, rank + 1)),
+        ent=pad_k(t.ent_of_tile_row, B, (T,)),
+        cross=[
+            pad_k(m, t2.n_cols, (T,))
+            for t2i, (m, t2) in enumerate(
+                zip(plan.cross_ent[ti], plan.tables)
+            )
+            if t2i != ti
+        ],
+        tau=pad_k(tau_tile, 0.0, (T,)),
+        fin_win=t.fin_win,
+        fin_idx=t.fin_idx,
+        fin_mask=t.fin_mask,
+    )
+    others = [
+        (t2, eff[t2i])
+        for t2i, t2 in enumerate(plan.tables)
+        if t2i != ti
+    ]
+
+    def chunk_body(carry, xc):
+        gram_carry, G = carry
+        src_c = xc["src"].reshape(Kc * T)
+        ones_c = (src_c < plan.n_rows).astype(dtype)
+        lin_o = jnp.zeros((Kc * T,), dtype)
+        Q_o = jnp.zeros((Kc * T, rank), dtype)
+        qs_o = jnp.zeros((Kc * T,), dtype)
+        a_o = jnp.zeros((Kc * T, rank), dtype)
+        b_o = jnp.zeros((Kc * T, rank), dtype)
+        c_o = jnp.zeros((Kc * T, rank), dtype)
+        for (t2, eff2), mc in zip(others, xc["cross"]):
+            gth, qs2, a12, b22 = _vi_other_gather(
+                w, w_var, V, V_var, t2, eff2, mc.reshape(Kc * T), rank
+            )
+            lin_o = lin_o + gth[:, 0]
+            Q_o = Q_o + gth[:, 2 : 2 + rank]
+            qs_o = qs_o + qs2
+            c_o = c_o + gth[:, 2 + rank : 2 + 2 * rank]
+            b_o = b_o + b22
+            a_o = a_o + a12
+        qs_o = qs_o + ds_pad[xc["ent"].reshape(Kc * T)][:, 0]
+        lin_tau = ones_c * w0 + lin_o - xc["tau"].reshape(Kc * T)
+        meta = jnp.stack([ones_c, lin_tau, qs_o], axis=1).reshape(
+            Kc, T, 3
+        )
+        q_ext = jnp.concatenate(
+            [Q_o, a_o, b_o, c_o], axis=1
+        ).reshape(Kc, T, 4 * rank)
+        flat_c, gram_carry = fused_tile_gram(
+            meta, q_ext, xc["slot"], xc["wvsl"],
+            xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
+            carry_in=gram_carry, interpret=interpret,
+            fast_matmul=bool(cfg.gram_fast_matmul),
+        )
+        vals = flat_c[xc["fin_idx"]][:, :D, :]
+        win = xc["fin_win"]
+        zero = jnp.zeros((), win.dtype)
+        old = lax.dynamic_slice(
+            G, (win, zero, zero), (max_fin, D, D)
+        )
+        msk = (xc["fin_mask"] > 0)[:, None, None]
+        G = lax.dynamic_update_slice(
+            G, jnp.where(msk, vals, old), (win, zero, zero)
+        )
+        return (gram_carry, G), None
+
+    carry0 = (
+        jnp.zeros((D, D), dtype),
+        jnp.zeros((B, D, D), dtype),
+    )
+    if n_chunks == 1:
+        xc = jax.tree_util.tree_map(lambda a: a[0], xs)
+        (_, G), _ = chunk_body(carry0, xc)
+    else:
+        (_, G), _ = lax.scan(chunk_body, carry0, xs)
+
+    if cfg.axis_name is not None:
+        # side features couple entities across the whole table: psum
+        # the Gram whole, then every device runs the identical
+        # deterministic color scan (cf. Gibbs _ea_table_pass)
+        G = lax.psum(G, cfg.axis_name)
+
+    # own-contribution conversion: z_total = z + U·z₀ with per-entity
+    # U = [0, 0, Ṽ, ã, b̃, c̃]  ⇒  G ← G + U g₀ᵀ + g₀ Uᵀ + G₀₀ UUᵀ
+    U_conv = jnp.concatenate(
+        [
+            jnp.zeros((B, 2), dtype),
+            own.ext[:, 2 : 2 + rank],           # Ṽ
+            own.a1,                              # ã = Σxs
+            own.b2,                              # b̃ = Σx²sv̄
+            own.ext[:, 2 + rank : 2 + 2 * rank],  # c̃ = Σx²s
+        ],
+        axis=1,
+    )
+    G = (
+        G
+        + U_conv[:, :, None] * G[:, 0:1, :]
+        + G[:, :, 0:1] * U_conv[:, None, :]
+        + (U_conv[:, :, None] * U_conv[:, None, :]) * G[:, 0:1, 0:1]
+    )
+    Gf = G.reshape(B, D * D).T  # flat lanes-major [D², B]
+
+    # per-color pre-gathered moments/priors
+    feat = si.stack_feat  # [C, Pf]
+    U_all = jnp.concatenate([w[:, None], V], axis=1)
+    S_all = jnp.concatenate([w_var[:, None], V_var], axis=1)
+    lam_gu = jnp.concatenate([lambda_w[:, None], lambda_V], axis=1)
+    mu_gu = jnp.concatenate([mu_w[:, None], mu_V], axis=1)
+    gidx = group_index[feat]
+    u0 = U_all[feat]
+    s0 = S_all[feat]
+    lam_s = lam_gu[gidx]
+    mu_s = mu_gu[gidx]
+
+    def body(Gc, xs_c):
+        xw, segb, u_old, s_old, lam, mu = xs_c
+        u_new, var_new, Gc = _vi_dense_color_step(
+            Gc, xw, segb, u_old, s_old, lam, mu, alpha, rank,
+            bool(cfg.fit_linear),
+        )
+        return Gc, (u_new, var_new)
+
+    n_colors = feat.shape[0]
+    if n_colors == 1:
+        Gf, (u_n, var_n) = body(
+            Gf,
+            (si.stack_xw[0], si.stack_segb[0], u0[0], s0[0],
+             lam_s[0], mu_s[0]),
+        )
+        u_all = u_n[None]
+        var_all = var_n[None]
+    else:
+        Gf, (u_all, var_all) = lax.scan(
+            body, Gf,
+            (si.stack_xw, si.stack_segb, u0, s0, lam_s, mu_s),
+            unroll=min(4, n_colors),
+        )
+
+    flat_feat = feat.reshape(-1)
+    u_flat = u_all.reshape(-1, rank + 1)
+    var_flat = var_all.reshape(-1, rank + 1)
+    w = w.at[flat_feat].set(
+        u_flat[:, 0], mode="drop", unique_indices=True
+    )
+    w_var = w_var.at[flat_feat].set(
+        var_flat[:, 0], mode="drop", unique_indices=True
+    )
+    V = V.at[flat_feat].set(
+        u_flat[:, 1:], mode="drop", unique_indices=True
+    )
+    V_var = V_var.at[flat_feat].set(
+        var_flat[:, 1:], mode="drop", unique_indices=True
+    )
+    return w, w_var, V, V_var
+
+
 def vi_refresh_rows(
     plan: CategoricalPlan,
     w0, w0_var, w, w_var, V, V_var,
     row_chunk: int = 1 << 20,
+    eff=None,
 ):
     """(score [N], per-row Var(score) summed → scalar) in one chunked
-    streaming pass (reference update_e_and_var, variational.hpp:715-833
-    with every x-power collapsed by x = 1)."""
+    streaming pass (reference update_e_and_var, variational.hpp:715-833).
+
+    Per factor the pairwise term f = ½(q² − Σx²V²) = Σ_{k<l} x_kx_lV_kV_l
+    has Var(f) = q̄²·A2 − 2q̄·A5 + ½A2² − ½A4 + A7 with
+    A2 = Σx²s, A5 = Σx³sv̄, A4 = Σx⁴s², A7 = Σx⁴sv̄² — for one-hot
+    tables every x-power collapses; entity+attribute tables supply the
+    true power-weighted sums via ``eff`` (vi_eff_tables)."""
     N = plan.n_rows
     rank = V.shape[1]
     nb = -(-N // row_chunk)
     Np = nb * row_chunk
     t0 = plan.tables[0]
     dtype = V.dtype
+    if eff is None:
+        eff = [None] * len(plan.tables)
 
     def pad_map(m, fill):
         if Np != N:
@@ -384,19 +925,39 @@ def vi_refresh_rows(
         X3SV = jnp.zeros((n, rank), dtype)
         X4S2 = jnp.zeros((n,), dtype)
         X4SV2 = jnp.zeros((n,), dtype)
-        for t2, idx in zip(plan.tables, ms):
-            gth = _ext_rows(w, w_var, V, V_var, t2, idx)
+        for t2, eff2, idx in zip(plan.tables, eff, ms):
+            if eff2 is None:
+                gth = _ext_rows(w, w_var, V, V_var, t2, idx)
+                Vg = gth[:, 2 : 2 + rank]
+                sg = gth[:, 2 + rank : 2 + 2 * rank]
+                svg = gth[:, 2 + 2 * rank :]
+                QS = QS + jnp.sum(Vg * Vg, axis=1)
+                X4S2 = X4S2 + jnp.sum(sg * sg, axis=1)
+                X4SV2 = X4SV2 + jnp.sum(svg * Vg, axis=1)
+            else:
+                packed = jnp.concatenate(
+                    [
+                        eff2.ext,
+                        eff2.qs[:, None],
+                        eff2.x4s2[:, None],
+                        eff2.x4sv2[:, None],
+                    ],
+                    axis=1,
+                )
+                rows = _pad_zero_row(packed)[idx]
+                W = eff2.ext.shape[1]
+                gth = rows[:, :W]
+                Vg = gth[:, 2 : 2 + rank]
+                sg = gth[:, 2 + rank : 2 + 2 * rank]
+                svg = gth[:, 2 + 2 * rank :]  # Σx³sv̄
+                QS = QS + rows[:, W]
+                X4S2 = X4S2 + rows[:, W + 1]
+                X4SV2 = X4SV2 + rows[:, W + 2]
             lin = lin + gth[:, 0]
             wvar_s = wvar_s + gth[:, 1]
-            Vg = gth[:, 2 : 2 + rank]
-            sg = gth[:, 2 + rank : 2 + 2 * rank]
-            svg = gth[:, 2 + 2 * rank :]
             Q = Q + Vg
-            QS = QS + jnp.sum(Vg * Vg, axis=1)
             X2S = X2S + sg
             X3SV = X3SV + svg
-            X4S2 = X4S2 + jnp.sum(sg * sg, axis=1)
-            X4SV2 = X4SV2 + jnp.sum(svg * Vg, axis=1)
         score = ones * w0 + lin
         if rank:
             score = score + 0.5 * (jnp.sum(Q * Q, axis=1) - QS)
@@ -526,20 +1087,35 @@ def categorical_vi_sweep(
     )
 
     w, w_var, V, V_var = core.w, core.w_var, core.V, core.V_var
+    has_side = any(si is not None for si in plan.side)
+    eff = (
+        vi_eff_tables(plan, w, w_var, V, V_var) if has_side else None
+    )
     for ti, t in enumerate(plan.tables):
         if cfg.task == TASK_REGRESSION:
             tau_tile = y_tiles[ti]
         else:
             tau_tile = _pad_zero_row(state.tau[:, None])[t.src][:, 0]
-        w, w_var, V, V_var = _vi_table_pass(
-            plan, ti, w, w_var, V, V_var, w0, alpha,
-            lambda_w, mu_w, lambda_V, mu_V,
-            plan.group_index, tau_tile, cfg, interpret,
-        )
+        if plan.side[ti] is not None:
+            w, w_var, V, V_var = _vi_ea_table_pass(
+                plan, ti, w, w_var, V, V_var, w0, alpha,
+                lambda_w, mu_w, lambda_V, mu_V,
+                plan.group_index, tau_tile, cfg, interpret, eff,
+            )
+            # the pass changed this table's side moments — later
+            # tables' cross-gathers and the final refresh must see
+            # the updated reductions
+            eff = vi_eff_tables(plan, w, w_var, V, V_var)
+        else:
+            w, w_var, V, V_var = _vi_table_pass(
+                plan, ti, w, w_var, V, V_var, w0, alpha,
+                lambda_w, mu_w, lambda_V, mu_V,
+                plan.group_index, tau_tile, cfg, interpret, eff=eff,
+            )
 
     # refresh (e, e_var_sum) + task finish + ELBO
     score, e_var_sum = vi_refresh_rows(
-        plan, w0, w0_var, w, w_var, V, V_var
+        plan, w0, w0_var, w, w_var, V, V_var, eff=eff
     )
     # SPMD pad rows: scores are forced to 0 but the probit
     # truncated-normal moments of 0 are nonzero — mask the latent
@@ -596,9 +1172,14 @@ def init_categorical_vi_state(
 ) -> CategoricalVIState:
     """Reference initialize (variational.hpp:234-241): full
     mean/variance forward, e = score − y for all tasks."""
+    eff = (
+        vi_eff_tables(plan, core.w, core.w_var, core.V, core.V_var)
+        if any(si is not None for si in plan.side)
+        else None
+    )
     score, e_var_sum = vi_refresh_rows(
         plan, core.w0, core.w0_var, core.w, core.w_var, core.V,
-        core.V_var,
+        core.V_var, eff=eff,
     )
     if cfg.axis_name is not None:
         # store the GLOBAL Var(score) sum (replicated scalar); pad

@@ -228,8 +228,11 @@ class ShardedCategoricalGibbsTrainer:
                 "Design is not all-categorical; use ShardedGibbsTrainer."
             )
         self.plan, n_local = compiled
+        from ..trainer import _resolve_gram_fast_matmul
+
         self.cfg = dataclasses.replace(
-            cfg, axis_name="data", n_devices=n_devices
+            _resolve_gram_fast_matmul(cfg, self.dtype),
+            axis_name="data", n_devices=n_devices,
         )
         y_pad = np.zeros(n_local * n_devices, dtype=self.dtype)
         y_arr = np.asarray(y).astype(self.dtype)
@@ -406,13 +409,25 @@ class ShardedCategoricalVITrainer:
             max(3 * rank, 1),
         )
         if compiled is None:
+            # entity+attribute designs: the EA table's Gram carries
+            # 4R+2 z-columns (ops/categorical_vi._vi_ea_table_pass) —
+            # Grams psum whole, SideInfo replicated, updates identical
+            # on every device
+            compiled = compile_sharded_categorical(
+                X, X_rel, grouping, n_devices, self.dtype,
+                max(4 * rank, 1), allow_side=True,
+            )
+        if compiled is None:
             raise ValueError(
                 "Multi-chip variational training requires an "
-                "all-categorical design (every table one-hot per row)."
+                "all-categorical or entity+attribute design."
             )
         self.plan, n_local = compiled
+        from ..trainer import _resolve_gram_fast_matmul
+
         self.cfg = dataclasses.replace(
-            cfg, axis_name="data", n_devices=n_devices
+            _resolve_gram_fast_matmul(cfg, self.dtype),
+            axis_name="data", n_devices=n_devices,
         )
         y_pad = np.zeros(n_local * n_devices, dtype=self.dtype)
         y_arr = np.asarray(y).astype(self.dtype)

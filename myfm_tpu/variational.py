@@ -133,6 +133,21 @@ class MyFMVariationalBase(MyFMBase):
                 dtype=self.dtype,
                 rank=max(3 * rank, 1),
             )
+            if cat_plan is None:
+                # entity+attribute designs (multi-hot / numeric side
+                # columns in a block): the EA table's Gram carries
+                # 4R+2 z-columns — tile for that width
+                cat_plan = try_compile_categorical(
+                    X,
+                    X_rel,
+                    grouping=np.asarray(
+                        config.group_index, dtype=np.int32
+                    ),
+                    n_groups=None,
+                    dtype=self.dtype,
+                    rank=max(4 * rank, 1),
+                    allow_side=True,
+                )
         if cat_plan is not None:
             trainer = CategoricalVITrainer(
                 cat_plan, y, cfg, rank, init_stdev, random_seed,
