@@ -153,6 +153,11 @@ class LearningHistory:
         default_factory=list
     )
     train_log_losses: List[float] = dataclasses.field(default_factory=list)
+    # which sweep engine the run resolved to ("fastpath" entity-space,
+    # "joint" merged-row, "colored" chromatic fallback) — the
+    # user-visible witness of the auto-dispatch decision, used by the
+    # accuracy protocol and the engine-resolution tests
+    engine: str = ""
 
 
 @dataclasses.dataclass
@@ -203,3 +208,6 @@ class VariationalLearningHistory:
 
     hypers: Optional[VariationalFMHyperParameters] = None
     elbos: List[float] = dataclasses.field(default_factory=list)
+    # resolved VI engine ("fastpath" entity-space CAVI, "colored"
+    # staged/chromatic fallback); see LearningHistory.engine
+    engine: str = ""

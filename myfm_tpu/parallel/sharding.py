@@ -296,6 +296,10 @@ def shard_design(
 class ShardedGibbsTrainer:
     """Data-parallel Gibbs trainer over a ('data',) device mesh."""
 
+    @property
+    def engine_name(self) -> str:
+        return "joint" if self.cfg.joint_rows else "colored"
+
     def __init__(
         self,
         X,

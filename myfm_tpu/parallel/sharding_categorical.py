@@ -197,6 +197,8 @@ def compile_sharded_categorical(
 class ShardedCategoricalGibbsTrainer:
     """Data-parallel fast-path Gibbs over a ('data',) device mesh."""
 
+    engine_name = "fastpath"
+
     def __init__(
         self,
         X,

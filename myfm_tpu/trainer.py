@@ -132,7 +132,7 @@ def run_mcmc_loop(
         trainer.rank, trainer.n_features, trainer.cfg.task,
         trainer.dtype,
     )
-    history = LearningHistory()
+    history = LearningHistory(engine=getattr(trainer, "engine_name", ""))
     for it in range(start_it, n_iter):
         key = jax.random.fold_in(master, 1 + it)
         state = trainer._sweep_call(state, key)
@@ -285,6 +285,10 @@ class GibbsTrainer:
     def n_features(self) -> int:
         return self.plan.n_features
 
+    @property
+    def engine_name(self) -> str:
+        return "joint" if self.cfg.joint_rows else "colored"
+
     def _sweep_call(self, state, key):
         y_arg = self.y_int if self.cfg.task == TASK_ORDERED else self.y
         return self._sweep(self.plan, state, y_arg, key, self.cfg)
@@ -392,6 +396,10 @@ class CategoricalGibbsTrainer:
     @property
     def n_features(self) -> int:
         return self.plan.n_features
+
+    @property
+    def engine_name(self) -> str:
+        return "fastpath"
 
     def _sweep_call(self, state, key):
         y_arg = self.y_int if self.cfg.task == TASK_ORDERED else self.y

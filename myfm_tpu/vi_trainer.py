@@ -131,7 +131,9 @@ def run_cavi_loop(
     single-chip CategoricalVITrainer and the sharded
     parallel.sharding_categorical.ShardedCategoricalVITrainer."""
     state = trainer._initialize()
-    history = VariationalLearningHistory(hypers=None, elbos=[])
+    history = VariationalLearningHistory(
+        hypers=None, elbos=[], engine="fastpath"
+    )
     for it in range(n_iter):
         state = trainer._sweep(
             trainer.plan, state, trainer.y, trainer.y_tiles,
@@ -253,7 +255,9 @@ class VariationalTrainer:
         callback: Optional[Callable] = None,
     ) -> Tuple[VariationalPredictor, VariationalLearningHistory]:
         state = self._initialize()
-        history = VariationalLearningHistory(hypers=None, elbos=[])
+        history = VariationalLearningHistory(
+            hypers=None, elbos=[], engine="colored"
+        )
         for it in range(n_iter):
             if self._staged:
                 state = self._sweep_staged(state)

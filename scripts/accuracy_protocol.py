@@ -39,35 +39,6 @@ def rmse_mae(pred, y):
     )
 
 
-def engine_label(X, blocks, grouping, rank, strategy, dtype=np.float32):
-    """Mirror gibbs._train_core's engine dispatch for the report (the
-    round-2 ACCURACY.md had a silent 29x wall anomaly with no engine
-    column — VERDICT r2 weak #2)."""
-    from myfm_tpu.design import joint_auto_candidate
-    from myfm_tpu.design_categorical import extract_categorical_mappings
-
-    if strategy == "joint":
-        return "joint"
-    if strategy in ("auto", "categorical"):
-        g = None if grouping is None else np.asarray(
-            grouping, dtype=np.int32
-        )
-        if extract_categorical_mappings(
-            X, blocks or [], g, np.dtype(dtype), allow_side=True
-        ) is not None:
-            return "fastpath"
-    gi = (
-        np.asarray(grouping)
-        if grouping is not None
-        else np.zeros(1, np.int64)
-    )
-    if strategy == "auto" and joint_auto_candidate(
-        rank, True, dtype, gi
-    ):
-        return "joint(auto)"
-    return "colored"
-
-
 class PhaseTimer:
     """fit() callback capturing the first-iteration wall (compile) and
     the steady-state iteration rate."""
@@ -166,7 +137,6 @@ def main():
 
     # A/B: plain one-hot design, rank 8, 100 iters
     Xtr, Xte, shapes = basic_design(df_train, df_test)
-    n_u, n_i = shapes
     for grouped, ref in ((True, 0.89594), (False, 0.90321)):
         t0 = time.time()
         timer = PhaseTimer()
@@ -176,13 +146,10 @@ def main():
             callback=timer,
         )
         r, m = rmse_mae(clip(fm.predict(Xte)), y_te)
-        eng = engine_label(
-            Xtr, [],
-            [0] * n_u + [1] * n_i if grouped else None, 8, "auto",
-        )
         rows.append((
             f"Gibbs rank 8, 100 it, {'grouped' if grouped else 'ungrouped'}",
-            r, m, ref, time.time() - t0, eng, *timer.split(),
+            r, m, ref, time.time() - t0, fm.history_.engine,
+            *timer.split(),
         ))
         print(rows[-1], flush=True)
 
@@ -195,8 +162,7 @@ def main():
     r, m = rmse_mae(clip(vfm.predict(Xte)), y_te)
     rows.append((
         "VI rank 8, 100 it, grouped", r, m, 0.8958, time.time() - t0,
-        engine_label(Xtr, [], [0] * n_u + [1] * n_i, 8, "auto"),
-        *timer.split(),
+        vfm.history_.engine, *timer.split(),
     ))
     print(rows[-1], flush=True)
 
@@ -217,7 +183,7 @@ def main():
     )
     rows.append((
         "Gibbs timeSVD++-flipped rank 10, 300 it (joint)", r, m, 0.889,
-        time.time() - t0, "joint", *timer.split(),
+        time.time() - t0, fm.history_.engine, *timer.split(),
     ))
     print(rows[-1], flush=True)
 
@@ -236,7 +202,7 @@ def main():
     r, m = rmse_mae(clip(expected), y_te)
     rows.append((
         "OProbit timeSVD++ rank 10, 200 it (expected rating)", r, m,
-        0.8906, time.time() - t0, "joint", *timer.split(),
+        0.8906, time.time() - t0, fmo.history_.engine, *timer.split(),
     ))
     print(rows[-1], flush=True)
 
