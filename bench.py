@@ -282,13 +282,22 @@ def main():
         "fastpath_gibbs_10m_rank32_sweeps_per_sec": round(
             sweeps_per_sec, 3
         ),
-        # rough speed-of-light accounting: the sweep's HBM traffic is
-        # dominated by 3 table passes x 2 cross-gathers of [N, 1+R]
-        # rows (read) + kernel tile traffic of similar order; at f32:
+        # naive speed-of-light: 3 table passes x 2 cross-gathers of
+        # LANE-DENSE [N, 1+R] rows at HBM stream bandwidth.  This bound
+        # ignores TPU tile granularity; the structural bound below is
+        # the engine's real roofline.
         "fastpath_sol_fraction": round(
             (6 * n_rows * (rank + 1) * 4 / 8.19e11) * sweeps_per_sec, 3
         ),
     }
+    try:
+        bound = _fastpath_struct_bound(X, blocks, grouping, rank)
+        detail["fastpath_struct_bound_sweeps_per_sec"] = round(bound, 3)
+        detail["fastpath_struct_fraction"] = round(
+            sweeps_per_sec / bound, 3
+        )
+    except Exception as exc:  # pragma: no cover
+        log(f"struct bound failed: {exc!r}")
     try:
         it_s, sol = _bench_joint_100k()
         detail["joint_100k_timesvdpp_rank10"] = it_s
@@ -319,6 +328,12 @@ def main():
     except Exception as exc:  # pragma: no cover
         log(f"oprobit bench failed: {exc!r}")
     try:
+        # VI on the same multi-hot design (entity+attribute fast path;
+        # VERDICT r2 item 6 target: within 5x of the Gibbs joint sweep)
+        detail["vi_100k_timesvdpp_rank10"] = _bench_vi_100k()
+    except Exception as exc:  # pragma: no cover
+        log(f"VI 100k bench failed: {exc!r}")
+    try:
         # the reference's true flagship config (ml-10m-regression.py
         # defaults to rank 128, examples/ml-10m-regression.py:20-274)
         detail["fastpath_10m_rank128_sweeps_per_sec"] = (
@@ -329,6 +344,52 @@ def main():
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=1)
     log(f"detail: {json.dumps(detail)}")
+
+
+def _fastpath_struct_bound(X, blocks, grouping, rank):
+    """Structural roofline of the fast-path sweep (profile-backed,
+    round-3): per table pass the engine is bound by
+
+    - the Gram kernel's MXU pass count — a dot([T, S*Dp], [T, D])
+      per tile takes ceil(S*Dp/128) * ceil(T/128) * ceil(D/128)
+      128-cycle systolic passes, x3 for the bf16-split f32 matmul —
+      NOT by its FLOPs (the matrices are tile-granularity-dominated);
+    - the two cross-table gathers' 128-lane-PADDED [rows, 1+R] output
+      writes at HBM bandwidth (every [*, c<=128] array on TPU stores
+      128 lanes per row).
+
+    Measured 2026-08-19 on v5e at 10M rows rank 32: 453 ms/sweep vs
+    this bound's ~350 ms (~77%); the naive lane-dense HBM bound (9.7
+    ms) is unreachable on this hardware without packing rows into the
+    lane dimension, which the gather/scatter machinery cannot feed."""
+    from myfm_tpu.design_categorical import try_compile_categorical
+
+    plan = try_compile_categorical(
+        X, blocks, np.asarray(grouping, dtype=np.int32), None,
+        np.float32, rank=rank,
+    )
+    D = rank + 2
+    Dp = -(-D // 8) * 8
+    clock = 0.94e9  # v5e
+    hbm = 8.19e11
+    n_cross = len(plan.tables) - 1
+    total_s = 0.0
+    for t in plan.tables:
+        tiles = t.n_tiles
+        T, S = t.tile_rows, t.tile_entities
+        passes = (
+            3  # bf16-split
+            * -(-(S * Dp) // 128)
+            * -(-T // 128)
+            * -(-D // 128)
+        )
+        mxu_s = tiles * passes * 128 / clock
+        rows_padded = tiles * T
+        gather_s = n_cross * rows_padded * (
+            -(-(rank + 1) // 128) * 128 * 4
+        ) / hbm
+        total_s += mxu_s + gather_s
+    return 1.0 / total_s
 
 
 def _timesvdpp_100k():
@@ -529,6 +590,40 @@ def _bench_colored_100k(n_timed=3):
     keys = [jax.random.fold_in(master, i) for i in range(n_timed + 2)]
     it_s = _run_sweeps(tr, plan, tr.y, tr.cfg, n_timed, keys)
     log(f"colored ML-100k timesvdpp rank 10: {it_s:.2f} it/s")
+    return round(it_s, 2)
+
+
+def _bench_vi_100k(rank=10, n_timed=10):
+    """Entity+attribute VI on the ML-100k timesvdpp features — the
+    multi-hot design class that round 2 still served from the staged
+    colored path (~100x slower).  Reference VI handles its relational
+    configs in seconds (variational.hpp:450-833)."""
+    from myfm_tpu.design_categorical import try_compile_categorical
+    from myfm_tpu.ops.variational import VariationalConfig
+    from myfm_tpu.vi_trainer import CategoricalVITrainer
+
+    X_date, blocks, y, grouping = _timesvdpp_100k()
+    plan = try_compile_categorical(
+        X_date, blocks, np.asarray(grouping, dtype=np.int32), None,
+        np.float32, rank=max(4 * rank, 1), allow_side=True,
+    )
+    assert plan is not None, "timesvdpp must hit the EA VI fast path"
+    cfg = VariationalConfig(task="regression")
+    tr = CategoricalVITrainer(plan, y, cfg, rank, 0.1, 42, np.float32)
+    state = tr._initialize()
+    state = tr._sweep(
+        tr.plan, state, tr.y, tr.y_tiles, tr.cfg, tr._interpret
+    )
+    float(state.core.elbo)
+    t0 = time.time()
+    for _ in range(n_timed):
+        state = tr._sweep(
+            tr.plan, state, tr.y, tr.y_tiles, tr.cfg, tr._interpret
+        )
+        float(state.core.elbo)
+    it_s = n_timed / (time.time() - t0)
+    log(f"VI EA fast path ML-100k timesvdpp rank {rank}: "
+        f"{it_s:.2f} it/s (round-2 staged colored: ~0.01 it/s)")
     return round(it_s, 2)
 
 

@@ -71,7 +71,7 @@ from .gibbs import (
     draw_lambda,
     draw_mu,
 )
-from .pallas_gram import fused_tile_gram
+from .pallas_gram import fused_tile_gram_cross
 from .special import truncated_std_normal_onesided
 
 
@@ -316,30 +316,33 @@ def _build_table_gram(
         gram_carry, G = carry
         src_c = xc["src"].reshape(Kc * T)
         ones_c = (src_c < plan.n_rows).astype(dtype)
-        # contributions of the OTHER tables only (for one-hot tables
-        # phi = q − v_own is exactly their factor sum)
-        lin_o = jnp.zeros((Kc * T,), dtype)
-        Q_o = jnp.zeros((Kc * T, rank), dtype)
-        qs_o = jnp.zeros((Kc * T,), dtype)
+        # the OTHER tables' gathered [w|V] rows feed the kernel as-is
+        # (a bitcast, no relayout); the kernel sums their lin/Q/qs
+        # contributions on the VPU in VMEM.  Materialising the sums
+        # here instead (round-2 layout) cost ~150 ms of a 606 ms
+        # ML-10M rank-32 sweep in [N, R]-scale slice-adds, the meta
+        # stack, and slot layout copies.
+        gths = []
+        ds_tot = jnp.zeros((Kc * T,), dtype)
         for (t2, eff2), mc in zip(others, xc["cross"]):
             gth, ds2 = _eff_rows(w, V, t2, eff2, mc.reshape(Kc * T))
-            lin_o = lin_o + gth[:, 0]
-            Q_o = Q_o + gth[:, 1:]
-            qs_o = qs_o + jnp.sum(gth[:, 1:] ** 2, axis=1)
+            gths.append(gth.reshape(Kc, T, 1 + rank))
             if ds2 is not None:
-                qs_o = qs_o + ds2
+                ds_tot = ds_tot + ds2
         if ds_pad is not None:
-            qs_o = qs_o + ds_pad[xc["ent"].reshape(Kc * T)][:, 0]
-        lin_tau = (
-            ones_c * w0 + lin_o - xc["tau"].reshape(Kc * T)
-        )
-        # Q_o goes in as its own operand — concatenating it into one
-        # [chunk, 3+R] array would copy ~1.3 GB per table at 1e7 rows
-        meta = jnp.stack([ones_c, lin_tau, qs_o], axis=1).reshape(
-            Kc, T, 3
-        )
-        flat_c, gram_carry = fused_tile_gram(
-            meta, Q_o.reshape(Kc, T, rank), xc["slot"], xc["wvsl"],
+            ds_tot = ds_tot + ds_pad[xc["ent"].reshape(Kc * T)][:, 0]
+        lin0 = ones_c * w0 - xc["tau"].reshape(Kc * T)
+        aux = jnp.stack(
+            [
+                xc["slot"].reshape(Kc * T).astype(dtype),
+                lin0,
+                ds_tot,
+                ones_c,
+            ],
+            axis=1,
+        ).reshape(Kc, T, 4)
+        flat_c, gram_carry = fused_tile_gram_cross(
+            aux, tuple(gths), xc["wvsl"],
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
             carry_in=gram_carry, interpret=interpret,
             fast_matmul=bool(cfg.gram_fast_matmul),

@@ -221,8 +221,29 @@ def _fused_gram_kernel(
         )
     )
     e = score * ones
+    _emit_gram_tail(
+        g, slot, ones, e, phi_all,
+        cont_in_ref, cont_out_ref, last_slot_ref,
+        out_ref, carry_out_ref, a_ref, z_ref, carry_ref,
+        interpret_build=interpret_build, fast_matmul=fast_matmul,
+    )
+
+
+def _emit_gram_tail(
+    g, slot, ones, e, phi_all,
+    cont_in_ref, cont_out_ref, last_slot_ref,
+    out_ref, carry_out_ref, a_ref, z_ref, carry_ref,
+    *, interpret_build: bool, fast_matmul: bool,
+):
+    """Shared Gram tail: fill z = [1 | e | phi], build the slot-masked
+    A matrix, run the MXU matmul, and thread the cross-tile carry."""
+    T, Dp = z_ref.shape
+    SDp = a_ref.shape[1]
+    S = SDp // Dp
+    D = out_ref.shape[2]
+    dtype = z_ref.dtype
     if Dp > D:
-        z_ref[...] = jnp.zeros((T, Dp), meta.dtype)
+        z_ref[...] = jnp.zeros((T, Dp), dtype)
     z_ref[:, 0] = ones
     z_ref[:, 1] = e
     z_ref[:, 2:D] = phi_all
@@ -232,6 +253,10 @@ def _fused_gram_kernel(
     # dynamic carry slice below is provably sublane-aligned.
     z = z_ref[...]
     if interpret_build:
+        m = (
+            slot[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+        ).astype(dtype) * ones[:, None]
         a_ref[...] = (m[:, :, None] * z[:, None, :]).reshape(
             T, S * Dp
         )
@@ -268,7 +293,7 @@ def _fused_gram_kernel(
             return jax.lax.dot_general(
                 x, y,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=meta.dtype,
+                preferred_element_type=dtype,
             )
 
         out_ref[0] = bdot(a_hi, z_hi) + bdot(a_hi, z_lo) + bdot(
@@ -279,7 +304,7 @@ def _fused_gram_kernel(
             a_ref[...],
             z_ref[:, :D],
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=meta.dtype,
+            preferred_element_type=dtype,
             precision=jax.lax.Precision.HIGHEST,  # Mosaic supports
             # only DEFAULT (bf16) and HIGHEST; HIGH raises
             # NotImplementedError
@@ -370,6 +395,216 @@ def fused_tile_gram(
     return out.reshape(K * S, Dp, D), carry_out
 
 
+def _fused_gram_cross_kernel(
+    # scalar prefetch
+    cont_in_ref,  # [K] int32
+    cont_out_ref,  # [K] int32
+    last_slot_ref,  # [K] int32
+    # array operands: aux, n_cross gathered cross tables, wvsl, carry
+    *refs,
+    n_cross: int,
+    interpret_build: bool = False,
+    fast_matmul: bool = False,
+):
+    """Cross-absorbing fused Gram: consumes the OTHER tables' gathered
+    [w|V] rows ([T, 1+R] each, straight out of the XLA gathers) and the
+    packed per-row aux [T, 4] = [slot | ones*w0 − tau | ds | ones], and
+    performs the cross sums (lin, Q, per-table squared sums) on the VPU
+    in VMEM.  This removes the [N, R]-scale slice-add materialisations,
+    the meta stack, and the slot layout copies that the separate-meta
+    kernel forced between the gathers and the matmul (measured ~150 ms
+    of a 606 ms ML-10M rank-32 sweep); the gather outputs feed the
+    kernel as-is (a bitcast, no relayout)."""
+    aux_ref = refs[0]
+    gth_refs = refs[1 : 1 + n_cross]
+    wvsl_ref = refs[1 + n_cross]
+    carry_in_ref = refs[2 + n_cross]
+    out_ref, carry_out_ref = refs[3 + n_cross : 5 + n_cross]
+    a_ref, z_ref, carry_ref = refs[5 + n_cross :]
+
+    _, T, _ = aux_ref.shape
+    R = wvsl_ref.shape[2] - 1
+    dtype = z_ref.dtype
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        carry_ref[...] = carry_in_ref[...]
+
+    aux = aux_ref[0]
+    slot = aux[:, 0].astype(jnp.int32)
+    ones = aux[:, 3]
+    lin_o = jnp.zeros((T,), dtype)
+    qs_o = aux[:, 2]  # QS−Q² corrections of EA tables (else 0)
+    Q_o = jnp.zeros((T, R), dtype)
+    for c in range(n_cross):
+        gth = gth_refs[c][0]  # [T, 1+R]
+        lin_o = lin_o + gth[:, 0]
+        if R:
+            Q_o = Q_o + gth[:, 1:]
+            qs_o = qs_o + jnp.sum(gth[:, 1:] ** 2, axis=1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (T, wvsl_ref.shape[1]), 1)
+    m = (slot[:, None] == iota_s).astype(dtype) * ones[:, None]
+    own = jax.lax.dot_general(  # [T, 1+R] = M @ own-slot weights
+        m,
+        wvsl_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    qf = Q_o + own[:, 1:]
+    score = (
+        aux[:, 1]
+        + lin_o
+        + own[:, 0]
+        + 0.5
+        * (
+            jnp.sum(qf * qf, axis=1)
+            - qs_o
+            - jnp.sum(own[:, 1:] ** 2, axis=1)
+        )
+    )
+    e = score * ones
+    _emit_gram_tail(
+        g, slot, ones, e, Q_o,
+        cont_in_ref, cont_out_ref, last_slot_ref,
+        out_ref, carry_out_ref, a_ref, z_ref, carry_ref,
+        interpret_build=interpret_build, fast_matmul=fast_matmul,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("S", "interpret", "fast_matmul")
+)
+def fused_tile_gram_cross(
+    aux: jax.Array,  # [K, T, 4]: [slot | ones*w0 − tau | ds | ones]
+    gths,  # tuple of [K, T, 1+R] — other tables' gathered [w|V] rows
+    wvsl: jax.Array,  # [K, S, 1+R]
+    cont_in: jax.Array,
+    cont_out: jax.Array,
+    last_slot: jax.Array,
+    S: int,
+    carry_in: Optional[jax.Array] = None,
+    interpret: bool = False,
+    fast_matmul: bool = False,
+):
+    """Cross-absorbing variant of ``fused_tile_gram``: same flat
+    partial-Gram output contract, but the kernel consumes the raw
+    cross-table gather outputs and packs lin/Q/qs sums on the VPU."""
+    gths = tuple(gths)
+    n_cross = len(gths)
+    K, T, _ = aux.shape
+    W = wvsl.shape[2]
+    R = W - 1
+    D = R + 2
+    Dp = -(-D // 8) * 8
+    if carry_in is None:
+        carry_in = jnp.zeros((D, D), wvsl.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(K,),
+        in_specs=[
+            pl.BlockSpec((1, T, 4), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [
+            pl.BlockSpec((1, T, 1 + R), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_cross)
+        ]
+        + [
+            pl.BlockSpec((1, S, W), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda k, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S * Dp, D), lambda k, *_: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, D), lambda k, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((T, S * Dp), wvsl.dtype),
+            pltpu.VMEM((T, Dp), wvsl.dtype),
+            pltpu.VMEM((D, D), wvsl.dtype),
+        ],
+    )
+    out, carry_out = pl.pallas_call(
+        functools.partial(
+            _fused_gram_cross_kernel, n_cross=n_cross,
+            interpret_build=interpret, fast_matmul=fast_matmul,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((K, S * Dp, D), wvsl.dtype),
+            jax.ShapeDtypeStruct((D, D), wvsl.dtype),
+        ),
+        interpret=interpret,
+    )(cont_in, cont_out, last_slot, aux, *gths, wvsl, carry_in)
+    return out.reshape(K * S, Dp, D), carry_out
+
+
+def fused_tile_gram_cross_reference(
+    aux, gths, wvsl, cont_in, cont_out, last_slot, S, carry_in=None,
+):
+    """jnp oracle of fused_tile_gram_cross (flat [K*S, D, D] output —
+    note: NOT Dp-strided like the kernel; compare via final_part
+    indices scaled accordingly or reshape both to [K, S, ...])."""
+    K, T, _ = aux.shape
+    R = wvsl.shape[2] - 1
+    D = R + 2
+    slot = aux[:, :, 0].astype(jnp.int32)
+    ones = aux[:, :, 3]
+    lin_o = jnp.zeros((K, T), aux.dtype)
+    qs_o = aux[:, :, 2]
+    Q_o = jnp.zeros((K, T, R), aux.dtype)
+    for gth in gths:
+        lin_o = lin_o + gth[:, :, 0]
+        Q_o = Q_o + gth[:, :, 1:]
+        qs_o = qs_o + jnp.sum(gth[:, :, 1:] ** 2, axis=2)
+    m = (
+        slot[:, :, None] == jnp.arange(S)[None, None, :]
+    ).astype(aux.dtype) * ones[:, :, None]
+    own = jnp.einsum(
+        "kts,ksc->ktc", m, wvsl,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    qf = Q_o + own[:, :, 1:]
+    score = (
+        aux[:, :, 1]
+        + lin_o
+        + own[:, :, 0]
+        + 0.5
+        * (
+            jnp.sum(qf * qf, axis=2)
+            - qs_o
+            - jnp.sum(own[:, :, 1:] ** 2, axis=2)
+        )
+    )
+    e = score * ones
+    z = jnp.concatenate(
+        [ones[:, :, None], e[:, :, None], Q_o], axis=2
+    )
+    partial = jnp.einsum(
+        "kts,ktd,kte->ksde", m, z, z,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if carry_in is None:
+        carry_in = jnp.zeros((D, D), aux.dtype)
+
+    def step(carry, xs):
+        p, ci, co, lo = xs
+        p = p.at[0].add(jnp.where(ci > 0, carry, 0.0))
+        new_carry = jnp.where(co > 0, p[lo], carry)
+        return new_carry, p
+
+    carry_out, out = jax.lax.scan(
+        step, carry_in, (partial, cont_in, cont_out, last_slot)
+    )
+    return out.reshape(K * S, D, D), carry_out
+
+
 def _padded_tile_bytes(r: int, c: int, itemsize: int = 4) -> int:
     """Bytes of one [r, c] VMEM buffer after Mosaic tiling: the minor
     (lane) dim pads to 128, the second-minor (sublane) dim to 8."""
@@ -378,28 +613,39 @@ def _padded_tile_bytes(r: int, c: int, itemsize: int = 4) -> int:
 
 def fused_gram_vmem_bytes(
     T: int, S: int, q_cols: int, w_cols: Optional[int] = None,
-    itemsize: int = 4,
+    itemsize: int = 4, n_cross: int = 2,
 ) -> int:
-    """Modeled scoped-VMEM footprint of one ``fused_tile_gram`` grid
-    step.  Every [T, c] operand pads its lane dim to 128 — so the
-    narrow ``slot`` [T, 1] and ``meta`` [T, 3] blocks cost as much as a
-    [T, 128] array — and Mosaic double-buffers the per-grid-step input
-    and output blocks.  The round-2 cost model budgeted only the
-    A-scratch (T*S*Dp*4) and missed all of this, shipping a T=4096
-    tiling whose true footprint (~16.9 MB modeled, 16.04 MB measured)
-    blew the 16 MB scoped-VMEM limit at compile time (BENCH_r02)."""
+    """Modeled scoped-VMEM footprint of one fused Gram grid step.
+    Every [T, c] operand pads its lane dim to 128 — so the narrow
+    ``slot``/``aux`` blocks cost as much as a [T, 128] array — and
+    Mosaic double-buffers the per-grid-step input and output blocks.
+    The round-2 cost model budgeted only the A-scratch (T*S*Dp*4) and
+    missed all of this, shipping a T=4096 tiling whose true footprint
+    (~16.9 MB modeled, 16.04 MB measured) blew the 16 MB scoped-VMEM
+    limit at compile time (BENCH_r02).
+
+    Models the max of the two kernel layouts sharing a tiling:
+    ``fused_tile_gram`` (slot + meta + q — the VI path) and
+    ``fused_tile_gram_cross`` (aux + n_cross gathered [T, 1+R] cross
+    operands — the Gibbs path)."""
     D = q_cols + 2
     Dp = -(-D // 8) * 8
     if w_cols is None:
         w_cols = 1 + q_cols
     tile = _padded_tile_bytes
     dd = tile(D, D, itemsize)
-    double_buffered = (
-        # inputs: slot [T,1], meta [T,3], q [T,q_cols], wvsl [S,w_cols],
-        # carry_in [D,D]
+    # separate-meta layout: slot [T,1], meta [T,3], q [T,q_cols]
+    in_meta = (
         tile(T, 1, itemsize)
         + tile(T, 3, itemsize)
         + tile(T, q_cols, itemsize)
+    )
+    # cross layout: aux [T,4] + n_cross × [T, w_cols]
+    in_cross = tile(T, 4, itemsize) + n_cross * tile(
+        T, w_cols, itemsize
+    )
+    double_buffered = (
+        max(in_meta, in_cross)
         + tile(S, w_cols, itemsize)
         + dd
         # outputs: partial Grams [S*Dp, D], carry_out [D,D]
@@ -423,9 +669,10 @@ _gram_probe_cache: dict = {}
 
 
 def gram_probe_ok(T: int, S: int, q_cols: int,
-                  w_cols: Optional[int] = None, dtype=None) -> bool:
-    """Compile-probe ``fused_tile_gram`` at (T, S, operand widths) on
-    the live backend; False if Mosaic rejects it (e.g. scoped-VMEM
+                  w_cols: Optional[int] = None, dtype=None,
+                  n_cross: int = 2) -> bool:
+    """Compile-probe both Gram kernels at (T, S, operand widths) on
+    the live backend; False if Mosaic rejects either (e.g. scoped-VMEM
     OOM).  The probe grid K MUST be production-sized: measured on v5e,
     the T=4096/S=2 config that OOM'd BENCH_r02 compiles fine at K≤8
     (the pipeliner skips double-buffering on tiny grids) and only
@@ -440,7 +687,7 @@ def gram_probe_ok(T: int, S: int, q_cols: int,
         w_cols = 1 + q_cols
     if dtype is None:
         dtype = jnp.float32
-    key = (jax.default_backend(), T, S, q_cols, w_cols,
+    key = (jax.default_backend(), T, S, q_cols, w_cols, n_cross,
            jnp.dtype(dtype).name)
     hit = _gram_probe_cache.get(key)
     if hit is not None:
@@ -448,15 +695,18 @@ def gram_probe_ok(T: int, S: int, q_cols: int,
     K = 512
     D = q_cols + 2
     ok = True
+    kints = (
+        jax.ShapeDtypeStruct((K,), jnp.int32),
+        jax.ShapeDtypeStruct((K,), jnp.int32),
+        jax.ShapeDtypeStruct((K,), jnp.int32),
+    )
     try:
         args = (
             jax.ShapeDtypeStruct((K, T, 3), dtype),
             jax.ShapeDtypeStruct((K, T, q_cols), dtype),
             jax.ShapeDtypeStruct((K, T), jnp.int32),
             jax.ShapeDtypeStruct((K, S, w_cols), dtype),
-            jax.ShapeDtypeStruct((K,), jnp.int32),
-            jax.ShapeDtypeStruct((K,), jnp.int32),
-            jax.ShapeDtypeStruct((K,), jnp.int32),
+            *kints,
             jax.ShapeDtypeStruct((D, D), dtype),
         )
         jax.jit(
@@ -464,6 +714,21 @@ def gram_probe_ok(T: int, S: int, q_cols: int,
                 m, q, sl, w, ci, co, ls, S=S, carry_in=cy
             )
         ).lower(*args).compile()
+        cargs = (
+            jax.ShapeDtypeStruct((K, T, 4), dtype),
+            tuple(
+                jax.ShapeDtypeStruct((K, T, w_cols), dtype)
+                for _ in range(n_cross)
+            ),
+            jax.ShapeDtypeStruct((K, S, w_cols), dtype),
+            *kints,
+            jax.ShapeDtypeStruct((D, D), dtype),
+        )
+        jax.jit(
+            lambda a, gs, w, ci, co, ls, cy: fused_tile_gram_cross(
+                a, gs, w, ci, co, ls, S=S, carry_in=cy
+            )
+        ).lower(*cargs).compile()
     except Exception:
         ok = False
     _gram_probe_cache[key] = ok

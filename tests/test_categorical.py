@@ -457,3 +457,77 @@ def test_tiling_vmem_model_rejects_bench_r02_crash_config():
                 fused_gram_vmem_bytes(T, S, rank) <= GRAM_VMEM_BUDGET
             ), (rank, T, S)
         assert (4096, 2) not in {(T, S) for T, S, _ in ranked}
+
+
+def test_fused_gram_cross_vs_separate_meta():
+    """The cross-absorbing kernel (raw cross gathers + packed aux in,
+    VPU sums in VMEM) must agree exactly with the separate-meta kernel
+    fed the pre-summed operands, carries included."""
+    import jax.numpy as jnp
+
+    from myfm_tpu.ops.pallas_gram import (
+        fused_tile_gram,
+        fused_tile_gram_cross,
+        fused_tile_gram_cross_reference,
+    )
+
+    rng = np.random.RandomState(11)
+    K, T, S, R = 3, 16, 4, 3
+    w0 = 0.37
+    ones = (rng.random((K, T)) > 0.2).astype(float)
+    tau = rng.normal(size=(K, T))
+    ds = np.abs(rng.normal(size=(K, T))) * ones
+    gths = [rng.normal(size=(K, T, 1 + R)) * ones[:, :, None]
+            for _ in range(2)]
+    slot = np.sort(rng.randint(0, S, size=(K, T)), axis=1).astype(
+        np.int32
+    )
+    wvsl = rng.normal(size=(K, S, 1 + R))
+    cont_in = np.array([0, 1, 1], dtype=np.int32)
+    cont_out = np.array([1, 1, 0], dtype=np.int32)
+    last = np.full(K, S - 1, dtype=np.int32)
+    carry0 = rng.normal(size=(R + 2, R + 2))
+
+    aux = np.stack(
+        [slot.astype(float), ones * w0 - tau, ds, ones], axis=2
+    )
+    out_c, carry_c = fused_tile_gram_cross(
+        jnp.asarray(aux), tuple(jnp.asarray(g) for g in gths),
+        jnp.asarray(wvsl), jnp.asarray(cont_in),
+        jnp.asarray(cont_out), jnp.asarray(last), S=S,
+        carry_in=jnp.asarray(carry0), interpret=True,
+    )
+    ref_c, ref_carry = fused_tile_gram_cross_reference(
+        jnp.asarray(aux), tuple(jnp.asarray(g) for g in gths),
+        jnp.asarray(wvsl), jnp.asarray(cont_in),
+        jnp.asarray(cont_out), jnp.asarray(last), S,
+        carry_in=jnp.asarray(carry0),
+    )
+    D = R + 2
+    np.testing.assert_allclose(
+        np.asarray(out_c)[:, :D, :], np.asarray(ref_c),
+        rtol=1e-10, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry_c), np.asarray(ref_carry), rtol=1e-10,
+        atol=1e-10,
+    )
+
+    # equivalence with the separate-meta kernel on pre-summed operands
+    lin_o = sum(g[:, :, 0] for g in gths)
+    Q_o = sum(g[:, :, 1:] for g in gths)
+    qs_o = sum((g[:, :, 1:] ** 2).sum(axis=2) for g in gths) + ds
+    meta = np.stack([ones, ones * w0 + lin_o - tau, qs_o], axis=2)
+    out_m, carry_m = fused_tile_gram(
+        jnp.asarray(meta), jnp.asarray(Q_o), jnp.asarray(slot),
+        jnp.asarray(wvsl), jnp.asarray(cont_in),
+        jnp.asarray(cont_out), jnp.asarray(last), S=S,
+        carry_in=jnp.asarray(carry0), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_c), np.asarray(out_m), rtol=1e-10, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(carry_c), np.asarray(carry_m), rtol=1e-10,
+        atol=1e-10,
+    )
