@@ -85,21 +85,51 @@ def _packed_rows(counts: np.ndarray, T: int, S: int) -> int:
     return total
 
 
-# Gram-kernel cost model for choose_tiling, calibrated on a v5e
-# (scripts/microbench_gram.py grid over T ∈ 512..2048, S ∈ 1..16, and
-# the production trace at 10M rows): per PADDED row,
+# Gram-kernel cost model for choose_tiling — the structural roofline
+# validated by the round-3 v5e profile (453 ms measured vs ~350 ms
+# modeled at 10M rows rank 32, every table within ~30%):
 #
-#     ns/row ≈ BASE + SLOPE_S·S + OVH/T.
+#   ns/row = MXU passes/tile · 128 cycles / clock / T     (the matmul)
+#          + DMA bytes/row / HBM bandwidth                (operands)
+#          + VPU slope · S                                (A build)
+#          + overhead / T                                 (grid step)
 #
-# The round-2 model (per-lane-tile MXU cycles) is wrong on hardware —
-# measured cost is nearly FLAT in ceil(S·Dp/128) because the matmul
-# streams the T contraction dim; the floor is the 6-pass HIGHEST
-# f32 matmul (~5.5 ns/row at S=1; halved by the bf16-split fast
-# path, ops/pallas_gram).  What remains is a mild S slope (A-build
-# VPU + output tiles) and a per-tile overhead ~0.45 µs.
-_GRAM_BASE_NS_PER_ROW = 5.5
-_GRAM_S_SLOPE_NS = 0.45
-_GRAM_TILE_OVERHEAD_NS = 450.0
+# A dot([T, S·Dp], [T, D]) takes ceil(S·Dp/128)·ceil(T/128)·ceil(D/128)
+# 128-cycle systolic passes — tile GRANULARITY, not FLOPs, is the
+# floor — ×3 for the bf16-split f32 matmul (ops/pallas_gram).  Operand
+# DMA: every [T, c ≤ 128] block stores 128 lanes/row, so aux + the
+# n_cross gathered cross tables cost (1 + n_cross)·512 B/row at f32
+# rank ≤ 126.  The round-2 flat-in-S calibration matched rank 32 by
+# accident and under-costs rank 128 (where ceil(D/128) = 2 and S·Dp
+# spans multiple lane tiles) by ~3×.
+_GRAM_CLOCK_HZ = 0.94e9  # v5e
+_GRAM_HBM_BPS = 8.19e11
+_GRAM_VPU_S_SLOPE_NS = 0.45
+# Anchored by the round-3 10M A/B: the user table at (T=128, S=2) ran
+# ~21 ms/sweep SLOWER than (T=256, S=4) while the 450 ns model said 20
+# ms faster — the residual (~3.9 ns/row at T=128) puts the real
+# per-grid-step cost (step + 5 DMA descriptors + semaphores) near 900.
+_GRAM_TILE_OVERHEAD_NS = 900.0
+
+
+def _gram_ns_per_row(T: int, S: int, rank: int,
+                     n_cross: int = 2) -> float:
+    D = rank + 2
+    Dp = -(-D // 8) * 8
+    passes = 3 * -(-(S * Dp) // 128) * -(-T // 128) * -(-D // 128)
+    mxu = passes * 128 / _GRAM_CLOCK_HZ / T * 1e9
+    lane_bytes = 4 * 128  # one padded lane tile per row per operand
+    dma = (
+        (1 + n_cross)
+        * -(-(rank + 1) // 128) * lane_bytes
+        / _GRAM_HBM_BPS * 1e9
+    )
+    return (
+        mxu
+        + dma
+        + _GRAM_VPU_S_SLOPE_NS * S
+        + _GRAM_TILE_OVERHEAD_NS / T
+    )
 
 
 def rank_tilings(counts: np.ndarray, T: int, S: int, rank: int = 32):
@@ -137,11 +167,7 @@ def rank_tilings(counts: np.ndarray, T: int, S: int, rank: int = 32):
             continue
         packed = _packed_rows(counts, Tc, Sc)
         infl = packed / n
-        ns_per_row = infl * (
-            _GRAM_BASE_NS_PER_ROW
-            + _GRAM_S_SLOPE_NS * Sc
-            + _GRAM_TILE_OVERHEAD_NS / Tc
-        )
+        ns_per_row = infl * _gram_ns_per_row(Tc, Sc, rank)
         ranked.append((ns_per_row, Tc, Sc, infl))
     if not ranked:  # degenerate: very large D — smallest config
         Tc, Sc = 128, 1

@@ -101,12 +101,15 @@ class GibbsConfig:
     # ~2.6 GB -> ~75 MB per sweep at B=80k, rank 128).  Falls back to
     # the psum when the entity count doesn't divide the mesh.
     gram_reduce_scatter: bool = True
-    # fast-path Gram matmul: 3-pass bf16-split (~2x the MXU floor, the
-    # sweep's dominant cost) instead of HIGHEST's 6-pass.  None = auto:
-    # the trainers enable it for float32 on the real TPU after an
-    # on-device self-check (ops/pallas_gram.gram_fast_selfcheck);
-    # True/False force it.
-    gram_fast_matmul: Optional[bool] = None
+    # fast-path Gram matmul mode.  None = auto: float32 on the real
+    # TPU resolves (after per-mode on-device self-checks,
+    # ops/pallas_gram.gram_fast_selfcheck) to the single-pass "bf16"
+    # matmul at rank >= 64 (a third of the split mode's MXU systolic
+    # passes — the rank-128 flagship's floor) and the 3-pass
+    # bf16-split otherwise (~1.5e-5 relative, half of HIGHEST's
+    # passes).  True forces split, False forces HIGHEST (6-pass),
+    # "bf16" forces single-pass.
+    gram_fast_matmul: Optional[object] = None
 
     @property
     def cutpoint_group_classes(self) -> Tuple[int, ...]:

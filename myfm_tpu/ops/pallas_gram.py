@@ -271,7 +271,27 @@ def _emit_gram_tail(
         a_ref[...] = z_til * (slot[:, None] == s_of_col).astype(
             z.dtype
         )
-    if fast_matmul:
+    mode = (
+        fast_matmul
+        if isinstance(fast_matmul, str)
+        else ("split" if fast_matmul else "highest")
+    )
+    if mode == "bf16":
+        # single-pass bf16 Gram matmul (~4e-3 relative: each operand
+        # rounds once to 8 mantissa bits; f32 accumulation).  A THIRD
+        # of the split mode's MXU passes — the only way rank-128 Grams
+        # (D = 130 spans 2 lane tiles, S*Dp several) clear the systolic
+        # pass floor.  Auto-gated by the trainers to Gibbs f32 at
+        # rank >= 64 after an on-device self-check: the Gibbs draw adds
+        # posterior noise >= 1/sqrt(count) per entity, orders above
+        # 4e-3; the deterministic VI fixpoint keeps the split path.
+        out_ref[0] = jax.lax.dot_general(
+            a_ref[...].astype(jnp.bfloat16),
+            z_ref[:, :D].astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        )
+    elif mode == "split":
         # 3-pass bf16-split Gram matmul: G = A_hi·z_hi + A_hi·z_lo
         # + A_lo·z_hi (the lo·lo term is below f32 epsilon).  Each
         # operand splits into hi = bf16(x) and lo = bf16(x − hi), so
@@ -738,22 +758,26 @@ def gram_probe_ok(T: int, S: int, q_cols: int,
 _fast_matmul_check_cache: dict = {}
 
 
-def gram_fast_selfcheck(rtol: float = 2e-4) -> bool:
-    """Validate the 3-pass bf16-split Gram matmul against the HIGHEST
-    path ON DEVICE: both compiled for one small random tile problem,
-    all Gram entries within ``rtol`` of the 6-pass result (theoretical
-    split error ~1.5e-5 relative; the gate leaves an order of
-    magnitude of headroom).  False disables the fast path.  Cached per
-    backend per process; False off-TPU."""
+def gram_fast_selfcheck(mode="split", rtol: Optional[float] = None) -> bool:
+    """Validate a reduced-precision Gram matmul mode against the
+    HIGHEST path ON DEVICE: both compiled for one small random tile
+    problem, all Gram entries within ``rtol`` of the 6-pass result.
+    Theoretical error: "split" ~1.5e-5 relative (gate 2e-4), "bf16"
+    ~4e-3 (gate 2e-2) — an order of magnitude of headroom each.
+    False disables the mode.  Cached per backend per process; False
+    off-TPU."""
+    if rtol is None:
+        rtol = {"split": 2e-4, "bf16": 2e-2}[mode]
     try:
         backend = jax.default_backend()
     except Exception:
         return False
-    hit = _fast_matmul_check_cache.get(backend)
+    key = (backend, mode)
+    hit = _fast_matmul_check_cache.get(key)
     if hit is not None:
         return hit
     if backend != "tpu":
-        _fast_matmul_check_cache[backend] = False
+        _fast_matmul_check_cache[key] = False
         return False
     ok = False
     try:
@@ -776,14 +800,14 @@ def gram_fast_selfcheck(rtol: float = 2e-4) -> bool:
             jnp.asarray(a) for a in (meta, q, slot, wvsl, ci, co, ls)
         )
         hi, _ = fused_tile_gram(*args, S=S)
-        fast, _ = fused_tile_gram(*args, S=S, fast_matmul=True)
+        fast, _ = fused_tile_gram(*args, S=S, fast_matmul=mode)
         hi = np.asarray(hi)
         fast = np.asarray(fast)
         scale = np.abs(hi).max()
         ok = bool(np.abs(fast - hi).max() <= rtol * scale)
     except Exception:
         ok = False
-    _fast_matmul_check_cache[backend] = ok
+    _fast_matmul_check_cache[key] = ok
     return ok
 
 

@@ -233,7 +233,7 @@ class ShardedCategoricalGibbsTrainer:
         from ..trainer import _resolve_gram_fast_matmul
 
         self.cfg = dataclasses.replace(
-            _resolve_gram_fast_matmul(cfg, self.dtype),
+            _resolve_gram_fast_matmul(cfg, self.dtype, rank),
             axis_name="data", n_devices=n_devices,
         )
         y_pad = np.zeros(n_local * n_devices, dtype=self.dtype)

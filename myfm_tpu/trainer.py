@@ -231,12 +231,21 @@ def _resolve_joint_pallas_tail(
     return cfg
 
 
-def _resolve_gram_fast_matmul(cfg, dtype):
-    """Resolve gram_fast_matmul=None (auto): enable the 3-pass
-    bf16-split Gram matmul for float32 on the real TPU backend after
-    the on-device self-check (ops/pallas_gram.gram_fast_selfcheck);
-    anything else keeps the HIGHEST 6-pass path.  f64 runs and CPU
-    tests are never switched."""
+def _resolve_gram_fast_matmul(cfg, dtype, rank=None):
+    """Resolve gram_fast_matmul=None (auto) for float32 on the real
+    TPU backend, after per-mode on-device self-checks
+    (ops/pallas_gram.gram_fast_selfcheck):
+
+    - Gibbs at rank >= 64 (``rank`` given): the single-pass "bf16"
+      matmul — at D >= 66 the Gram spans multiple systolic tiles and
+      the 3-pass split mode IS the measured sweep floor (rank-128
+      flagship: 1.05 sweeps/s at the split bound); bf16's ~4e-3
+      relative error sits orders below the draw noise per entity.
+    - otherwise the 3-pass bf16-split (~1.5e-5 relative) — also the
+      resolution for the deterministic VI paths (``rank=None``), whose
+      fixpoint would absorb a bf16 bias directly.
+
+    f64 runs and CPU tests are never switched off HIGHEST."""
     import dataclasses
 
     if cfg.gram_fast_matmul is not None:
@@ -248,7 +257,12 @@ def _resolve_gram_fast_matmul(cfg, dtype):
     ):
         from .ops.pallas_gram import gram_fast_selfcheck
 
-        use = gram_fast_selfcheck()
+        if rank is not None and rank >= 64 and gram_fast_selfcheck(
+            "bf16"
+        ):
+            use = "bf16"
+        else:
+            use = gram_fast_selfcheck("split")
     return dataclasses.replace(cfg, gram_fast_matmul=use)
 
 
@@ -371,7 +385,7 @@ class CategoricalGibbsTrainer:
 
         self.plan = plan
         cfg = _resolve_joint_pallas_tail(cfg, dtype)
-        cfg = _resolve_gram_fast_matmul(cfg, dtype)
+        cfg = _resolve_gram_fast_matmul(cfg, dtype, rank)
         self.cfg = cfg
         self.rank = rank
         self.init_stdev = init_stdev

@@ -531,3 +531,80 @@ def test_fused_gram_cross_vs_separate_meta():
         np.asarray(carry_c), np.asarray(carry_m), rtol=1e-10,
         atol=1e-10,
     )
+
+
+def test_gram_bf16_mode_error_bound_and_recovery():
+    """The single-pass bf16 Gram mode (auto at rank >= 64 on TPU) must
+    stay within its ~4e-3 theoretical relative error at kernel level,
+    and a forced-bf16 fast-path chain must still recover a planted
+    one-hot signal (the draw noise dominates the matmul error)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sps
+
+    from myfm_tpu.ops.pallas_gram import fused_tile_gram
+
+    rng = np.random.RandomState(5)
+    K, T, S, R = 2, 32, 4, 6
+    meta = rng.normal(size=(K, T, 3)).astype(np.float32)
+    meta[:, :, 0] = 1.0
+    q = (rng.normal(size=(K, T, R)) * 0.4).astype(np.float32)
+    slot = np.sort(rng.randint(0, S, (K, T)), axis=1).astype(np.int32)
+    wvsl = (rng.normal(size=(K, S, 1 + R)) * 0.4).astype(np.float32)
+    z = np.zeros(K, np.int32)
+    ls = np.full(K, S - 1, np.int32)
+    args = tuple(
+        jnp.asarray(a) for a in (meta, q, slot, wvsl, z, z, ls)
+    )
+    hi, _ = fused_tile_gram(*args, S=S, interpret=True)
+    bf, _ = fused_tile_gram(
+        *args, S=S, interpret=True, fast_matmul="bf16"
+    )
+    scale = float(np.abs(np.asarray(hi)).max())
+    err = float(np.abs(np.asarray(bf) - np.asarray(hi)).max())
+    assert err <= 2e-2 * scale
+
+    # end-to-end: forced bf16 chain recovers entity effects
+    n, n_u, n_i = 1500, 30, 20
+    u = rng.randint(0, n_u, n)
+    i = rng.randint(0, n_i, n)
+    bu = rng.normal(size=n_u)
+    bi = rng.normal(size=n_i)
+    y = 2.0 + bu[u] + bi[i] + 0.3 * rng.normal(size=n)
+    rows = np.arange(n)
+    X = sps.hstack(
+        [
+            sps.csr_matrix((np.ones(n), (rows, u)), shape=(n, n_u)),
+            sps.csr_matrix((np.ones(n), (rows, i)), shape=(n, n_i)),
+        ],
+        format="csr",
+    )
+    from myfm_tpu.design_categorical import try_compile_categorical
+    from myfm_tpu.ops.gibbs import GibbsConfig
+    from myfm_tpu.trainer import CategoricalGibbsTrainer
+
+    plan = try_compile_categorical(
+        X, [], np.array([0] * n_u + [1] * n_i, np.int32), None,
+        np.float32, rank=2,
+    )
+    assert plan is not None
+    cfg = GibbsConfig(task="regression", gram_fast_matmul="bf16")
+    tr = CategoricalGibbsTrainer(
+        plan, y, cfg, rank=2, init_stdev=0.1, random_seed=7,
+        dtype=np.float32,
+    )
+    pred, hist = tr.run(60, 30)
+    yhat = np.zeros(n)
+    import jax
+
+    for s in pred.samples:
+        from myfm_tpu.ops.categorical import score_rows
+
+        yhat += np.asarray(
+            jax.jit(score_rows)(
+                plan, jnp.float32(s.w0), jnp.asarray(s.w),
+                jnp.asarray(s.V),
+            )
+        )
+    yhat /= len(pred.samples)
+    rmse = float(np.sqrt(np.mean((yhat - y) ** 2)))
+    assert rmse < 0.45  # noise floor 0.3; colored/f32 runs land ~0.33
