@@ -33,6 +33,7 @@ import numpy as np
 import scipy.sparse as sps
 
 REFERENCE_PROJECTED_SWEEPS_PER_SEC = 0.0625
+_TTFS = None  # time-to-first-sweep, set by _measure_headline
 
 
 def log(*a):
@@ -148,14 +149,14 @@ def _measure_headline(X, blocks, y, grouping, rank, n_timed,
     from myfm_tpu.ops.gibbs import GibbsConfig
     from myfm_tpu.trainer import CategoricalGibbsTrainer
 
-    t0 = time.time()
+    t_fit0 = time.time()
     plan = try_compile_categorical(
         X, blocks, np.asarray(grouping, dtype=np.int32), None,
         np.float32, rank=rank, fixed_ts=fixed_ts,
     )
     assert plan is not None, "flagship workload must hit the fast path"
     log(
-        f"design compiled in {time.time()-t0:.1f}s "
+        f"design compiled in {time.time()-t_fit0:.1f}s "
         f"(F={plan.n_features}, tables="
         f"{[(t.n_cols, t.n_tiles, t.tile_rows, t.tile_entities) for t in plan.tables]})"
     )
@@ -178,6 +179,10 @@ def _measure_headline(X, blocks, y, grouping, rank, n_timed,
     )
     _ = float(jnp.sum(state.core.e))
     log(f"first sweep (compile) in {time.time()-t0:.1f}s")
+    # time-to-first-sweep (design compile + upload + init + sweep
+    # compile; VERDICT r2 item 7 target < 60 s warm at 10M)
+    global _TTFS
+    _TTFS = time.time() - t_fit0
 
     # fetch a scalar per sweep: block_until_ready through the axon
     # tunnel returns early on in-flight buffers, and long unfetched
@@ -290,6 +295,8 @@ def main():
             (6 * n_rows * (rank + 1) * 4 / 8.19e11) * sweeps_per_sec, 3
         ),
     }
+    if _TTFS is not None:
+        detail["time_to_first_sweep_s"] = round(_TTFS, 1)
     try:
         bound = _fastpath_struct_bound(X, blocks, grouping, rank)
         detail["fastpath_struct_bound_sweeps_per_sec"] = round(bound, 3)

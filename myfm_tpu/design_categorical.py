@@ -85,39 +85,40 @@ def _packed_rows(counts: np.ndarray, T: int, S: int) -> int:
     return total
 
 
-# Gram-kernel cost model for choose_tiling — the structural roofline
-# validated by the round-3 v5e profile (453 ms measured vs ~350 ms
-# modeled at 10M rows rank 32, every table within ~30%):
+# Gram-kernel cost model for choose_tiling — fit to five per-table
+# anchors from the round-3 v5e 10M profiles (each within ~15%, one
+# within 30%):
 #
-#   ns/row = MXU passes/tile · 128 cycles / clock / T     (the matmul)
+#   ns/row = matmul cycles/tile / clock / T               (the matmul)
 #          + DMA bytes/row / HBM bandwidth                (operands)
 #          + VPU slope · S                                (A build)
 #          + overhead / T                                 (grid step)
 #
-# A dot([T, S·Dp], [T, D]) takes ceil(S·Dp/128)·ceil(T/128)·ceil(D/128)
-# 128-cycle systolic passes — tile GRANULARITY, not FLOPs, is the
-# floor — ×3 for the bf16-split f32 matmul (ops/pallas_gram).  Operand
-# DMA: every [T, c ≤ 128] block stores 128 lanes/row, so aux + the
-# n_cross gathered cross tables cost (1 + n_cross)·512 B/row at f32
-# rank ≤ 126.  The round-2 flat-in-S calibration matched rank 32 by
-# accident and under-costs rank 128 (where ceil(D/128) = 2 and S·Dp
-# spans multiple lane tiles) by ~3×.
+# The dot([T, S·Dp], [T, D]) streams its OUTPUT-row dim M = S·Dp
+# through the systolic array: cycles ≈ n_mm · ceil(T/128) · ceil(D/128)
+# · max(S·Dp, 128) — a 128-cycle pipeline floor per pass, but M above
+# 128 costs LINEARLY (not in ceil-128 tiles; measured: the user table
+# at S·Dp = 160 ran 4.0 ns/row of matmul vs the pass model's 6.4).
+# n_mm = matmul passes over the data: 3 for the bf16-split f32 mode,
+# 1 for the single-pass bf16 mode the trainers resolve at rank >= 64
+# (_resolve_gram_fast_matmul).  Operand DMA: every [T, c ≤ 128] block
+# stores 128 lanes/row, so aux + the n_cross gathered cross tables
+# cost (1 + n_cross) · ceil((1+R)/128) · 512 B/row at f32.
 _GRAM_CLOCK_HZ = 0.94e9  # v5e
 _GRAM_HBM_BPS = 8.19e11
 _GRAM_VPU_S_SLOPE_NS = 0.45
-# Anchored by the round-3 10M A/B: the user table at (T=128, S=2) ran
-# ~21 ms/sweep SLOWER than (T=256, S=4) while the 450 ns model said 20
-# ms faster — the residual (~3.9 ns/row at T=128) puts the real
-# per-grid-step cost (step + 5 DMA descriptors + semaphores) near 900.
-_GRAM_TILE_OVERHEAD_NS = 900.0
+_GRAM_TILE_OVERHEAD_NS = 450.0
 
 
 def _gram_ns_per_row(T: int, S: int, rank: int,
                      n_cross: int = 2) -> float:
     D = rank + 2
     Dp = -(-D // 8) * 8
-    passes = 3 * -(-(S * Dp) // 128) * -(-T // 128) * -(-D // 128)
-    mxu = passes * 128 / _GRAM_CLOCK_HZ / T * 1e9
+    n_mm = 1 if rank >= 64 else 3  # mirrors the matmul-mode resolver
+    cycles = (
+        n_mm * -(-T // 128) * -(-D // 128) * max(S * Dp, 128)
+    )
+    mxu = cycles / _GRAM_CLOCK_HZ / T * 1e9
     lane_bytes = 4 * 128  # one padded lane tile per row per operand
     dma = (
         (1 + n_cross)
@@ -184,10 +185,19 @@ def choose_tiling(counts: np.ndarray, T: int, S: int, rank: int = 32):
 def choose_tiling_probed(counts: np.ndarray, T: int, S: int,
                          rank: int = 32):
     """Best (T, S, inflation) whose kernel compile-probes OK on the
-    live backend (gram_probe_ok is a no-op off-TPU), else None."""
-    from .ops.pallas_gram import gram_probe_ok
+    live backend (gram_probe_ok is a no-op off-TPU), else None.
+    Configs modeled well under the scoped-VMEM budget skip the probe —
+    it guards the OOM cliff, not the comfortable interior — saving
+    several seconds of remote compile per table at first fit."""
+    from .ops.pallas_gram import (
+        GRAM_PROBE_THRESHOLD,
+        fused_gram_vmem_bytes,
+        gram_probe_ok,
+    )
 
     for Tc, Sc, infl in rank_tilings(counts, T, S, rank):
+        if fused_gram_vmem_bytes(Tc, Sc, rank) <= GRAM_PROBE_THRESHOLD:
+            return Tc, Sc, infl
         if gram_probe_ok(Tc, Sc, rank):
             return Tc, Sc, infl
     return None

@@ -684,6 +684,12 @@ def fused_gram_vmem_bytes(
 # is 16 MiB; keep ~2 MiB headroom for Mosaic's own stack allocations
 # beyond the modeled buffers.
 GRAM_VMEM_BUDGET = 14 << 20
+# Configs modeled below this line skip the compile probe: the probe
+# exists to catch model gaps near the scoped-VMEM cliff (BENCH_r02
+# post-mortem), but a config under ~57% of budget has > 8 MiB of
+# modeled headroom — far beyond any observed model error — and each
+# probe costs seconds of remote compile in the first-fit latency.
+GRAM_PROBE_THRESHOLD = 8 << 20
 
 _gram_probe_cache: dict = {}
 
