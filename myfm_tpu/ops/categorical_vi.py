@@ -480,11 +480,12 @@ def _update_gram_lanes_u(G, s_vec, u_vec, D):
     dtype = G.dtype
     II = _np.arange(D * D) // D
     JJ = _np.arange(D * D) % D
-    r_sum = jnp.asarray(
-        (II[None, :] == _np.arange(D)[:, None]), dtype
-    )
+    # one-pass batched matvec g[d, b] = Σ_j Ĝ[d, j, b] s[j, b] — the
+    # round-2 r_sum-einsum formulation materialized G*s[JJ] ([D², B])
+    # first, an extra full-Gram HBM pass per color (the EA side scans
+    # run ~2k sequential colors per sweep)
     g = jnp.einsum(
-        "dk,kb->db", r_sum, G * s_vec[JJ],
+        "djb,jb->db", G.reshape(D, D, B), s_vec,
         precision=jax.lax.Precision.HIGHEST,
     )  # [D, B] = Ĝ·s
     sgs = jnp.sum(s_vec * g, axis=0)

@@ -541,12 +541,11 @@ def _update_gram_lanes(G, a0, A_B, D):
         [a0[None], jnp.zeros((1, B), dtype), A_B], axis=0
     )  # [D, B]
     sh = s.at[0].set(0.0)  # ŝ = [0, 0, A]
-    # g = Ĝ·s: block-diagonal contraction via one static-summing matmul
-    r_sum = jnp.asarray(
-        (II[None, :] == _np.arange(D)[:, None]), dtype
-    )
+    # g = Ĝ·s: one-pass batched matvec (the r_sum-matmul formulation
+    # materialized G*s[JJ] first — an extra full-Gram HBM pass per
+    # sequential color)
     g = jnp.einsum(
-        "dk,kb->db", r_sum, G * s[JJ], precision=_HI
+        "djb,jb->db", G.reshape(D, D, B), s, precision=_HI
     )  # [D, B]
     sgs = jnp.sum(s * g, axis=0)  # [B]
     p = (g + g[0:1] * sh).at[1].add(0.5 * sgs)
