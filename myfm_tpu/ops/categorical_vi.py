@@ -216,6 +216,9 @@ def _vi_table_pass(
     t = plan.tables[ti]
     rank = V.shape[1]
     D = 3 * rank + 2
+    # the CAVI updates read only Gram rows [1 | e | q] — build, carry,
+    # and reduce the [rows_r, D] rectangle instead of the full [D, D]
+    rows_r = 2 + rank
     K = t.n_tiles
     T = t.tile_rows
     dtype = V.dtype
@@ -301,12 +304,13 @@ def _vi_table_pass(
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
             carry_in=gram_carry, interpret=interpret,
             fast_matmul=bool(cfg.gram_fast_matmul),
+            out_rows=rows_r,
         )
-        vals = flat_c[xc["fin_idx"]][:, :D, :]
+        vals = flat_c[xc["fin_idx"]][:, :rows_r, :]
         win = xc["fin_win"]
         zero = jnp.zeros((), win.dtype)
         old = lax.dynamic_slice(
-            G, (win, zero, zero), (max_fin, D, D)
+            G, (win, zero, zero), (max_fin, rows_r, D)
         )
         msk = (xc["fin_mask"] > 0)[:, None, None]
         G = lax.dynamic_update_slice(
@@ -314,9 +318,10 @@ def _vi_table_pass(
         )
         return (gram_carry, G), None
 
+    Dpr = -(-rows_r // 8) * 8
     carry0 = (
-        jnp.zeros((D, D), dtype),
-        jnp.zeros((B, D, D), dtype),
+        jnp.zeros((Dpr, D), dtype),
+        jnp.zeros((B, rows_r, D), dtype),
     )
     if n_chunks == 1:
         xc = jax.tree_util.tree_map(lambda a: a[0], xs)
@@ -477,20 +482,23 @@ def _update_gram_lanes_u(G, s_vec, u_vec, D):
     import numpy as _np
 
     B = G.shape[1]
+    rows_r = G.shape[0] // D  # rectangle rows (2+R; D·D would be full)
     dtype = G.dtype
-    II = _np.arange(D * D) // D
-    JJ = _np.arange(D * D) % D
-    # one-pass batched matvec g[d, b] = Σ_j Ĝ[d, j, b] s[j, b] — the
-    # round-2 r_sum-einsum formulation materialized G*s[JJ] ([D², B])
-    # first, an extra full-Gram HBM pass per color (the EA side scans
-    # run ~2k sequential colors per sweep)
+    II = _np.arange(rows_r * D) // D
+    JJ = _np.arange(rows_r * D) % D
+    # one-pass batched matvec g[j, b] = Σ_k Ĝ[k, j, b] s[k, b] over the
+    # rectangle's rows (s is supported on rows {0, q} ⊂ rect; Ĝ is
+    # symmetric, so this is Ĝ·s over ALL j) — the round-2 r_sum-einsum
+    # formulation materialized G*s ([D², B]) first, an extra full-Gram
+    # HBM pass per color (the EA side scans run ~2k sequential colors
+    # per sweep)
     g = jnp.einsum(
-        "djb,jb->db", G.reshape(D, D, B), s_vec,
+        "kjb,kb->jb", G.reshape(rows_r, D, B), s_vec[:rows_r],
         precision=jax.lax.Precision.HIGHEST,
     )  # [D, B] = Ĝ·s
     sgs = jnp.sum(s_vec * g, axis=0)
     p = (g + g[0:1] * u_vec).at[1].add(0.5 * sgs)
-    col0 = G[_np.arange(D) * D]  # Ĝ[:, 0]
+    col0 = G[0:D]  # Ĝ[0, :] = Ĝ[:, 0] by symmetry, [D, B]
     r = col0 + 0.5 * col0[0:1] * u_vec
     m_i1 = jnp.asarray((II == 1), dtype)[:, None]
     m_j1 = jnp.asarray((JJ == 1), dtype)[:, None]
@@ -544,8 +552,9 @@ def _vi_dense_color_step(G, xw, segb, u0, s0, lam, mu, alpha, rank,
         ],
         axis=1,
     )  # [B, 4Pf]
+    rows_r = G.shape[0] // D  # [1|e|q] rectangle rows (= 2+R)
     TT = jnp.einsum("kb,bq->kq", G, wq, precision=hi).reshape(
-        D, D, 4 * Pf
+        rows_r, D, 4 * Pf
     )
     G2 = TT[..., :Pf]          # Σx²Ĝ [D, D, Pf]
     S30 = TT[0, :, Pf : 2 * Pf]  # Σx³Ĝ[0,:] [D, Pf]
@@ -693,6 +702,13 @@ def _vi_ea_table_pass(
     t = plan.tables[ti]
     rank = V.shape[1]
     D = 4 * rank + 2
+    # every read in the color steps has its FIRST Gram index in the
+    # [1 | e | q] rows — the variance-column x variance-column block
+    # ((3R)^2 of the D^2 entries) is never consumed, and the
+    # [rows_r, D] rectangle is closed under both the own-contribution
+    # conversion and the T G T' color evolution (see
+    # _update_gram_lanes_u) — ~(4R+2)/(R+2) x less Gram traffic
+    rows_r = 2 + rank
     K = t.n_tiles
     T = t.tile_rows
     dtype = V.dtype
@@ -782,12 +798,13 @@ def _vi_ea_table_pass(
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
             carry_in=gram_carry, interpret=interpret,
             fast_matmul=bool(cfg.gram_fast_matmul),
+            out_rows=rows_r,
         )
-        vals = flat_c[xc["fin_idx"]][:, :D, :]
+        vals = flat_c[xc["fin_idx"]][:, :rows_r, :]
         win = xc["fin_win"]
         zero = jnp.zeros((), win.dtype)
         old = lax.dynamic_slice(
-            G, (win, zero, zero), (max_fin, D, D)
+            G, (win, zero, zero), (max_fin, rows_r, D)
         )
         msk = (xc["fin_mask"] > 0)[:, None, None]
         G = lax.dynamic_update_slice(
@@ -795,9 +812,10 @@ def _vi_ea_table_pass(
         )
         return (gram_carry, G), None
 
+    Dpr = -(-rows_r // 8) * 8
     carry0 = (
-        jnp.zeros((D, D), dtype),
-        jnp.zeros((B, D, D), dtype),
+        jnp.zeros((Dpr, D), dtype),
+        jnp.zeros((B, rows_r, D), dtype),
     )
     if n_chunks == 1:
         xc = jax.tree_util.tree_map(lambda a: a[0], xs)
@@ -823,13 +841,15 @@ def _vi_ea_table_pass(
         ],
         axis=1,
     )
+    U_r = U_conv[:, :rows_r]  # = [0, 0, Ṽ] (a/b/c rows are outside)
+    col0 = G[:, :, 0:1]  # Ĝ[rect rows, 0]
     G = (
         G
-        + U_conv[:, :, None] * G[:, 0:1, :]
-        + G[:, :, 0:1] * U_conv[:, None, :]
-        + (U_conv[:, :, None] * U_conv[:, None, :]) * G[:, 0:1, 0:1]
+        + U_r[:, :, None] * G[:, 0:1, :]
+        + col0 * U_conv[:, None, :]
+        + (U_r[:, :, None] * U_conv[:, None, :]) * G[:, 0:1, 0:1]
     )
-    Gf = G.reshape(B, D * D).T  # flat lanes-major [D², B]
+    Gf = G.reshape(B, rows_r * D).T  # flat lanes-major [rows_r·D, B]
 
     # per-color pre-gathered moments/priors
     feat = si.stack_feat  # [C, Pf]

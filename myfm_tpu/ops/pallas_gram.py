@@ -173,6 +173,7 @@ def _fused_gram_kernel(
     *,
     interpret_build: bool = False,
     fast_matmul: bool = False,
+    out_rows: Optional[int] = None,
 ):
     """Fused Gram: reconstructs the own-table contribution via a
     one-hot matmul from the tiny per-tile [S, 1+R] weight slice, builds
@@ -181,10 +182,8 @@ def _fused_gram_kernel(
     OTHER tables' factor sum, so the caller never gathers own rows at
     [N] scale, and no [N, D] z array ever exists in HBM."""
     _, T, _ = meta_ref.shape
-    SDp = a_ref.shape[1]
-    Dp = z_ref.shape[1]
     D = out_ref.shape[2]
-    S = SDp // Dp
+    S = wvsl_ref.shape[1]
     # q_ref may carry extra trailing z-columns beyond the own-table
     # factor count (e.g. the VI variance sums); the own rank is the
     # weight-slice width minus the linear column.
@@ -226,6 +225,7 @@ def _fused_gram_kernel(
         cont_in_ref, cont_out_ref, last_slot_ref,
         out_ref, carry_out_ref, a_ref, z_ref, carry_ref,
         interpret_build=interpret_build, fast_matmul=fast_matmul,
+        out_rows=out_rows,
     )
 
 
@@ -234,22 +234,32 @@ def _emit_gram_tail(
     cont_in_ref, cont_out_ref, last_slot_ref,
     out_ref, carry_out_ref, a_ref, z_ref, carry_ref,
     *, interpret_build: bool, fast_matmul: bool,
+    out_rows: Optional[int] = None,
 ):
     """Shared Gram tail: fill z = [1 | e | phi], build the slot-masked
-    A matrix, run the MXU matmul, and thread the cross-tile carry."""
+    A matrix, run the MXU matmul, and thread the cross-tile carry.
+
+    ``out_rows`` (default: full D) emits only the Gram's first
+    ``out_rows`` ROWS (all D columns) — the entity+attribute VI
+    consumers never read the variance-column × variance-column block,
+    and the rectangle is ~D/out_rows× cheaper to multiply, store, and
+    evolve."""
     T, Dp = z_ref.shape
-    SDp = a_ref.shape[1]
-    S = SDp // Dp
     D = out_ref.shape[2]
+    rows_eff = D if out_rows is None else out_rows
+    # slot stride of the A matrix / out rows (8-aligned)
+    Dpr = carry_ref.shape[0] if out_rows is not None else Dp
+    SDp = a_ref.shape[1]
+    S = SDp // Dpr
     dtype = z_ref.dtype
     if Dp > D:
         z_ref[...] = jnp.zeros((T, Dp), dtype)
     z_ref[:, 0] = ones
     z_ref[:, 1] = e
     z_ref[:, 2:D] = phi_all
-    # A[t, s*Dp + d] = z[t, d] * m[t, s], built with two whole-array
+    # A[t, s*Dpr + d] = z[t, d] * m[t, s], built with two whole-array
     # vector ops instead of S strided slice writes (which dominated
-    # kernel time at S = 16).  The slot stride Dp is 8-aligned so the
+    # kernel time at S = 16).  The slot stride Dpr is 8-aligned so the
     # dynamic carry slice below is provably sublane-aligned.
     z = z_ref[...]
     if interpret_build:
@@ -257,20 +267,28 @@ def _emit_gram_tail(
             slot[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
         ).astype(dtype) * ones[:, None]
-        a_ref[...] = (m[:, :, None] * z[:, None, :]).reshape(
-            T, S * Dp
+        zr = z[:, :Dpr]
+        if rows_eff < Dpr:
+            zr = zr * (
+                jax.lax.broadcasted_iota(jnp.int32, (T, Dpr), 1)
+                < rows_eff
+            ).astype(dtype)
+        a_ref[...] = (m[:, :, None] * zr[:, None, :]).reshape(
+            T, S * Dpr
         )
     else:
         # pltpu.repeat is a block-tile repeat ([z|z|..|z]) — exactly
-        # the z layout needed; the slot mask comes from an iota//Dp
-        # compare (pad rows have all-zero z, so no extra masking)
-        z_til = pltpu.repeat(z, S, axis=1)  # [T, S*Dp]
-        s_of_col = (
-            jax.lax.broadcasted_iota(jnp.int32, (T, S * Dp), 1) // Dp
-        )
-        a_ref[...] = z_til * (slot[:, None] == s_of_col).astype(
-            z.dtype
-        )
+        # the z layout needed; the slot mask comes from an iota//Dpr
+        # compare (pad rows have all-zero z, so no extra masking; for
+        # a rectangle the same compare also zeroes the stride-pad
+        # columns rows_eff..Dpr-1, which hold real z columns there)
+        z_til = pltpu.repeat(z[:, :Dpr], S, axis=1)  # [T, S*Dpr]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (T, S * Dpr), 1)
+        s_of_col = iota // Dpr
+        msk = slot[:, None] == s_of_col
+        if rows_eff < Dpr:
+            msk = jnp.logical_and(msk, iota % Dpr < rows_eff)
+        a_ref[...] = z_til * msk.astype(z.dtype)
     mode = (
         fast_matmul
         if isinstance(fast_matmul, str)
@@ -330,14 +348,16 @@ def _emit_gram_tail(
             # NotImplementedError
         )
 
+    CR = carry_ref.shape[0]  # D (full) or Dpr (rectangle)
+
     @pl.when(cont_in_ref[g] > 0)
     def _():
-        out_ref[0, 0:D, :] += carry_ref[...]
+        out_ref[0, 0:CR, :] += carry_ref[...]
 
     @pl.when(cont_out_ref[g] > 0)
     def _():
-        off = pl.multiple_of(last_slot_ref[g] * Dp, 8)
-        carry_ref[...] = out_ref[0, pl.ds(off, D), :]
+        off = pl.multiple_of(last_slot_ref[g] * Dpr, 8)
+        carry_ref[...] = out_ref[0, pl.ds(off, CR), :]
 
     @pl.when(g == pl.num_programs(0) - 1)
     def _():
@@ -345,7 +365,8 @@ def _emit_gram_tail(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("S", "interpret", "fast_matmul")
+    jax.jit,
+    static_argnames=("S", "interpret", "fast_matmul", "out_rows"),
 )
 def fused_tile_gram(
     meta: jax.Array,  # [K, T, 3]: [ones | lin−tau(+w0) | qs_other]
@@ -359,19 +380,31 @@ def fused_tile_gram(
     carry_in: Optional[jax.Array] = None,
     interpret: bool = False,
     fast_matmul: bool = False,
+    out_rows: Optional[int] = None,
 ):
-    """Returns (flat partial Grams [K*S, Dp, D], carry_out [D, D]);
+    """Returns (flat partial Grams [K*S, Dp, D], carry_out) with
     Dp = D rounded up to a multiple of 8 (rows D..Dp-1 are zero).
 
     ``q_other`` may carry extra trailing z-columns beyond the own
     factor count (width of ``wvsl`` minus one) — e.g. the VI variance
-    sums — which enter the Gram verbatim as additional z entries."""
+    sums — which enter the Gram verbatim as additional z entries.
+
+    ``out_rows`` restricts the emitted Grams to their first
+    ``out_rows`` ROWS (all D columns): out [K*S, Dpr, D] and carry
+    [Dpr, D] with Dpr = roundup(out_rows, 8).  The VI consumers only
+    ever read rows [1 | e | q], so the rectangle cuts the matmul,
+    store, and downstream traffic by ~D/out_rows."""
     K, T, R = q_other.shape
     D = R + 2
     W = wvsl.shape[2]
     Dp = -(-D // 8) * 8
+    if out_rows is None:
+        Dpr, CR = Dp, D
+    else:
+        Dpr = -(-out_rows // 8) * 8
+        CR = Dpr
     if carry_in is None:
-        carry_in = jnp.zeros((D, D), q_other.dtype)
+        carry_in = jnp.zeros((CR, D), q_other.dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(K,),
@@ -384,35 +417,35 @@ def fused_tile_gram(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, W), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, D), lambda k, *_: (0, 0),
+            pl.BlockSpec((CR, D), lambda k, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, S * Dp, D), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((1, S * Dpr, D), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, D), lambda k, *_: (0, 0),
+            pl.BlockSpec((CR, D), lambda k, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((T, S * Dp), q_other.dtype),
+            pltpu.VMEM((T, S * Dpr), q_other.dtype),
             pltpu.VMEM((T, Dp), q_other.dtype),
-            pltpu.VMEM((D, D), q_other.dtype),
+            pltpu.VMEM((CR, D), q_other.dtype),
         ],
     )
     out, carry_out = pl.pallas_call(
         functools.partial(
             _fused_gram_kernel, interpret_build=interpret,
-            fast_matmul=fast_matmul,
+            fast_matmul=fast_matmul, out_rows=out_rows,
         ),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((K, S * Dp, D), q_other.dtype),
-            jax.ShapeDtypeStruct((D, D), q_other.dtype),
+            jax.ShapeDtypeStruct((K, S * Dpr, D), q_other.dtype),
+            jax.ShapeDtypeStruct((CR, D), q_other.dtype),
         ),
         interpret=interpret,
     )(cont_in, cont_out, last_slot, slot.reshape(K, T, 1), meta,
       q_other, wvsl, carry_in)
-    return out.reshape(K * S, Dp, D), carry_out
+    return out.reshape(K * S, Dpr, D), carry_out
 
 
 def _fused_gram_cross_kernel(
