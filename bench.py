@@ -166,6 +166,10 @@ def _measure_headline(X, blocks, y, grouping, rank, n_timed,
         plan, y, cfg, rank=rank, init_stdev=0.1, random_seed=42,
         dtype=np.float32,
     )
+    # the trainer's resolved cfg carries the auto gram_fast_matmul
+    # mode ("split"/"bf16") — the raw cfg would bench the HIGHEST
+    # 6-pass matmul the real fit() loop never runs
+    cfg = trainer.cfg
     master = jax.random.PRNGKey(42)
     t0 = time.time()
     state = trainer._initialize(jax.random.fold_in(master, 0))
@@ -495,6 +499,7 @@ def _bench_rank128(X, blocks, y, grouping, n_timed=5, rank=128):
         plan, y, cfg, rank=rank, init_stdev=0.1, random_seed=42,
         dtype=np.float32,
     )
+    cfg = trainer.cfg  # resolved gram_fast_matmul ("bf16" at rank 128)
     master = jax.random.PRNGKey(42)
     state = trainer._initialize(jax.random.fold_in(master, 0))
     state = trainer._sweep(

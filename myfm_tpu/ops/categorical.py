@@ -345,7 +345,7 @@ def _build_table_gram(
             aux, tuple(gths), xc["wvsl"],
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
             carry_in=gram_carry, interpret=interpret,
-            fast_matmul=bool(cfg.gram_fast_matmul),
+            fast_matmul=cfg.gram_fast_matmul or False,
         )
         # consume this chunk's finalized entities into G: a masked
         # dynamic-update-slice over a contiguous entity window — the

@@ -303,7 +303,7 @@ def _vi_table_pass(
             meta, q_ext, xc["slot"], xc["wvsl"],
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
             carry_in=gram_carry, interpret=interpret,
-            fast_matmul=bool(cfg.gram_fast_matmul),
+            fast_matmul=cfg.gram_fast_matmul or False,
             out_rows=rows_r,
         )
         vals = flat_c[xc["fin_idx"]][:, :rows_r, :]
@@ -797,7 +797,7 @@ def _vi_ea_table_pass(
             meta, q_ext, xc["slot"], xc["wvsl"],
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
             carry_in=gram_carry, interpret=interpret,
-            fast_matmul=bool(cfg.gram_fast_matmul),
+            fast_matmul=cfg.gram_fast_matmul or False,
             out_rows=rows_r,
         )
         vals = flat_c[xc["fin_idx"]][:, :rows_r, :]
