@@ -21,7 +21,15 @@ import jax.numpy as jnp
 from .containers import FM
 from .design import compile_design
 from .ops.forward import predict_score
+from .ops.forward_categorical import (
+    compile_categorical_inference,
+    scores_samples_reduce,
+)
 from .relational import RelationBlock
+
+_scores_reduce_jit = jax.jit(
+    scores_samples_reduce, static_argnames=("mode", "row_chunk")
+)
 
 ArrayLike = Union[np.ndarray, sps.spmatrix]
 
@@ -55,9 +63,36 @@ class Predictor:
             X, X_rel, dtype=self.dtype, for_training=False
         )
 
+    def _compile_fast(self, X: Optional[ArrayLike],
+                      X_rel: Sequence[RelationBlock]):
+        """Entity-space inference plan (ops/forward_categorical), or
+        None when the design is not categorical.  Cached per (X, X_rel)
+        identity so repeated serving calls on the same design pay the
+        entity-map upload once."""
+        key = (id(X),) + tuple(id(b) for b in X_rel)
+        cached = getattr(self, "_fast_plan_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        try:
+            plan = compile_categorical_inference(X, X_rel, self.dtype)
+        except Exception:
+            plan = None
+        self._fast_plan_cache = (key, plan)
+        return plan
+
     def _sample_chunks(self):
+        """Stacked (w0s, ws, Vs) device arrays per memory-bounded
+        sample chunk, cached across predict calls (serving reuses the
+        same kept samples; re-uploading the stacked weights through a
+        slow host->device link would otherwise dominate every call)."""
+        key = tuple(map(id, self.samples))
+        cached = getattr(self, "_sample_stack_cache", None)
+        if cached is not None and cached[0] == key:
+            yield from cached[1]
+            return
         per_sample = max(1, self.n_features * max(self.rank, 1))
         chunk = max(1, min(len(self.samples), _CHUNK_ELEMENTS // per_sample))
+        staged = []
         for s0 in range(0, len(self.samples), chunk):
             part = self.samples[s0 : s0 + chunk]
             w0s = jnp.asarray(
@@ -69,7 +104,9 @@ class Predictor:
             vs = jnp.asarray(
                 np.stack([s.V for s in part]).astype(self.dtype)
             )
+            staged.append((part, w0s, ws, vs))
             yield part, w0s, ws, vs
+        self._sample_stack_cache = (key, staged)
 
     # -- public API (parity with predictor.hpp) -----------------------
 
@@ -83,8 +120,18 @@ class Predictor:
         classification, then averaged — predictor.hpp:126-147)."""
         if not self.samples:
             raise RuntimeError("Predictor has no samples.")
-        plan = self._compile(X, X_rel)
         squash = self.task == TASK_CLASSIFICATION
+        fast = self._compile_fast(X, X_rel)
+        if fast is not None:
+            mode = "probit_sum" if squash else "sum"
+            total = np.zeros(fast.n_rows, dtype=np.float64)
+            for part, w0s, ws, vs in self._sample_chunks():
+                total += np.asarray(
+                    _scores_reduce_jit(fast, w0s, ws, vs, mode=mode),
+                    dtype=np.float64,
+                )
+            return total / len(self.samples)
+        plan = self._compile(X, X_rel)
 
         @jax.jit
         def score_sum(w0s, ws, vs):
@@ -120,6 +167,24 @@ class Predictor:
         (predictor.hpp:78-124 + FM.hpp:137-162)."""
         if not self.samples:
             raise RuntimeError("Predictor has no samples.")
+        fast = self._compile_fast(X, X_rel)
+        if fast is not None:
+            total = None
+            for part, w0s, ws, vs in self._sample_chunks():
+                cps = jnp.asarray(
+                    np.stack(
+                        [s.cutpoints[cutpoint_index] for s in part]
+                    ).astype(self.dtype)
+                )
+                out = np.asarray(
+                    _scores_reduce_jit(
+                        fast, w0s, ws, vs, mode="oprobit_sum",
+                        cutpoints=cps,
+                    ),
+                    dtype=np.float64,
+                )
+                total = out if total is None else total + out
+            return total / len(self.samples)
         plan = self._compile(X, X_rel)
 
         @jax.jit
