@@ -316,9 +316,10 @@ def main():
     except Exception as exc:  # pragma: no cover
         log(f"joint bench failed: {exc!r}")
     try:
-        detail["predict_10m_rank32_rows_per_sec"] = _bench_predict(
-            X, blocks, rank, state
-        )
+        rows_s, sol = _bench_predict(X, blocks, rank, state)
+        detail["predict_10m_rank32_rows_per_sec"] = rows_s
+        if sol is not None:
+            detail["predict_roofline_fraction"] = sol
     except Exception as exc:  # pragma: no cover
         log(f"predict bench failed: {exc!r}")
     try:
@@ -520,40 +521,52 @@ def _bench_rank128(X, blocks, y, grouping, n_timed=5, rank=128):
 
 
 def _bench_predict(X, blocks, rank, state, n_samples=8):
-    """Posterior-averaged serving throughput on the flagship rows —
-    the reference predict_parallel analogue (predictor.hpp:35-76).
-    Scores the full row set once per kept sample (weights perturbed
-    per sample so the axon client cannot elide repeats) and reports
-    rows/s over all samples."""
-    import jax
-
-    from myfm_tpu.design import compile_design
-    from myfm_tpu.ops.forward import predict_score
-
-    t0 = time.time()
-    plan = compile_design(
-        X, blocks, grouping=None, dtype=np.float32,
-        for_training=False,
+    """Posterior-averaged serving throughput on the flagship rows
+    through the REAL ``Predictor.predict`` path (the reference
+    predict_parallel analogue, predictor.hpp:35-76): n_samples kept
+    FMs (w0 perturbed per sample so nothing can be elided), entity-
+    space sample-stacked scoring (ops/forward_categorical).  The first
+    call pays plan compile + upload (logged separately); the steady
+    call is the serving number.  Returns (rows/s, roofline fraction)."""
+    from myfm_tpu.containers import FM
+    from myfm_tpu.ops.forward_categorical import (
+        serving_roofline_rows_per_sec,
     )
-    log(f"inference design compiled in {time.time()-t0:.1f}s")
-    core = getattr(state, "core", state)
-    w0, w, V = core.w0, core.w, core.V
-    n = plan.n_rows
+    from myfm_tpu.predictor import Predictor
 
-    f = jax.jit(predict_score)
-    acc = f(plan, w0, w, V)
-    float(acc[0])  # compile + sync
-    t0 = time.time()
+    core = getattr(state, "core", state)
+    w0 = float(core.w0)
+    w = np.asarray(core.w)
+    V = np.asarray(core.V)
+    n = len(np.asarray(blocks[0].original_to_block))
+
+    pred = Predictor(rank, w.shape[0], "regression", np.float32)
     for k in range(n_samples):
-        acc = acc + f(plan, w0 + 1e-6 * (k + 1), w, V)
-    float(acc[0])
+        pred.samples.append(FM(w0 + 1e-6 * (k + 1), w, V, []))
+
+    t0 = time.time()
+    out = pred.predict(X, blocks)
+    log(f"predict first call (plan compile + upload): "
+        f"{time.time()-t0:.1f}s")
+    fast_plan = pred._fast_plan_cache[1]
+    t0 = time.time()
+    out = pred.predict(X, blocks)
     dt = time.time() - t0
+    _ = float(out[0])
     rows_per_sec = n_samples * n / dt
+    sol = None
+    if fast_plan is not None:
+        bound = serving_roofline_rows_per_sec(
+            fast_plan, n_samples, rank
+        )
+        sol = round(rows_per_sec / bound, 3)
     log(
         f"predict: {n_samples} samples x {n} rows in {dt:.2f}s -> "
-        f"{rows_per_sec/1e6:.1f}M rows/s"
+        f"{rows_per_sec/1e6:.1f}M rows/s "
+        f"(fastpath={'yes' if fast_plan is not None else 'NO'}, "
+        f"roofline_fraction={sol})"
     )
-    return round(rows_per_sec, 1)
+    return round(rows_per_sec, 1), sol
 
 
 def _bench_oprobit_100k(n_timed=10):
@@ -609,33 +622,33 @@ def _bench_vi_100k(rank=10, n_timed=10):
     """Entity+attribute VI on the ML-100k timesvdpp features — the
     multi-hot design class that round 2 still served from the staged
     colored path (~100x slower).  Reference VI handles its relational
-    configs in seconds (variational.hpp:450-833)."""
-    from myfm_tpu.design_categorical import try_compile_categorical
-    from myfm_tpu.ops.variational import VariationalConfig
-    from myfm_tpu.vi_trainer import CategoricalVITrainer
+    configs in seconds (variational.hpp:450-833).
+
+    Routed through the REAL ``VariationalFMRegressor.fit`` dispatch
+    (VERDICT r3 item 8) so a regression in the EA-plan fallback chain
+    (variational.py:124-150) shows up here: two fits whose iteration
+    counts differ by n_timed, steady it/s = delta wall / n_timed."""
+    from myfm_tpu import VariationalFMRegressor
 
     X_date, blocks, y, grouping = _timesvdpp_100k()
-    plan = try_compile_categorical(
-        X_date, blocks, np.asarray(grouping, dtype=np.int32), None,
-        np.float32, rank=max(4 * rank, 1), allow_side=True,
-    )
-    assert plan is not None, "timesvdpp must hit the EA VI fast path"
-    cfg = VariationalConfig(task="regression")
-    tr = CategoricalVITrainer(plan, y, cfg, rank, 0.1, 42, np.float32)
-    state = tr._initialize()
-    state = tr._sweep(
-        tr.plan, state, tr.y, tr.y_tiles, tr.cfg, tr._interpret
-    )
-    float(state.core.elbo)
-    t0 = time.time()
-    for _ in range(n_timed):
-        state = tr._sweep(
-            tr.plan, state, tr.y, tr.y_tiles, tr.cfg, tr._interpret
+
+    def fit(n_iter):
+        vfm = VariationalFMRegressor(
+            rank=rank, random_seed=42, dtype=np.float32
         )
-        float(state.core.elbo)
-    it_s = n_timed / (time.time() - t0)
+        t0 = time.time()
+        vfm.fit(
+            X_date, y, X_rel=blocks, n_iter=n_iter, grouping=grouping,
+        )
+        assert vfm.history_.engine == "fastpath", vfm.history_.engine
+        return time.time() - t0
+
+    t_warm = fit(2)  # compile + 2 iters (plan/jit caches stay warm)
+    t_long = fit(2 + n_timed)
+    it_s = n_timed / max(t_long - t_warm, 1e-9)
     log(f"VI EA fast path ML-100k timesvdpp rank {rank}: "
-        f"{it_s:.2f} it/s (round-2 staged colored: ~0.01 it/s)")
+        f"{it_s:.2f} it/s through fit() "
+        f"(round-2 staged colored: ~0.01 it/s)")
     return round(it_s, 2)
 
 

@@ -111,9 +111,20 @@ def _table_slice(W: jax.Array, t: CategoricalTable) -> jax.Array:
 
 
 def _wv_rows(w, V, t2: CategoricalTable, idx: jax.Array) -> jax.Array:
-    """Gather [w_t2 | V_t2] rows ([*, 1+R]) by entity index (pad->0)."""
+    """Gather [w_t2 | V_t2 | qs_t2] rows ([*, 2+R]) by entity index
+    (pad->0).  The trailing qs = Σ_r V² column is precomputed ONCE per
+    [B]-sized entity table so the Gram kernel adds one lane instead of
+    squaring + lane-reducing every gathered row — the kernel is
+    VPU-bound, and the per-cross square+reduce was its single hottest
+    section (measured 2026-08-20 on v5e, scripts/microbench_kernel_ts)."""
+    V_t = _table_slice(V, t2)
     wv = jnp.concatenate(
-        [_table_slice(w, t2)[:, None], _table_slice(V, t2)], axis=1
+        [
+            _table_slice(w, t2)[:, None],
+            V_t,
+            jnp.sum(V_t * V_t, axis=1)[:, None],
+        ],
+        axis=1,
     )
     return _pad_zero_row(wv)[idx]
 
@@ -128,9 +139,11 @@ def eff_tables(plan: CategoricalPlan, w, V):
     generic coordinate scan, FMTrainer.hpp:256-314):
 
         w̃_u = Xs[u,:]·w_s,  Ṽ_u = Xs[u,:]@V_s,
-        ds_u = Σ_r (Xs²[u,:]·V_s²[:,r] − Ṽ_ur²)   (QS − Q² correction),
+        qs_u = Σ_r Xs²[u,:]·V_s²[:,r]   (the TRUE per-entity Σ x²V²),
 
-    packed as one [B, 1+R+1] array [w̃ | Ṽ | ds]."""
+    packed as one [B, 1+R+1] array [w̃ | Ṽ | qs] — the same
+    [w | V | qs] layout _wv_rows produces for one-hot tables, so every
+    gathered row carries its squared-factor sum precomputed."""
     out = []
     for t, si in zip(plan.tables, plan.side):
         if si is None:
@@ -142,10 +155,10 @@ def eff_tables(plan: CategoricalPlan, w, V):
         w_eff = jnp.matmul(si.xs, w_s, precision=hi)  # [B]
         V_eff = jnp.matmul(si.xs, V_s, precision=hi)  # [B, R]
         S_eff = jnp.matmul(si.xs * si.xs, V_s * V_s, precision=hi)
-        ds = jnp.sum(S_eff - V_eff * V_eff, axis=1)  # [B]
+        qs = jnp.sum(S_eff, axis=1)  # [B] true Σ_i x² V² per entity
         out.append(
             jnp.concatenate(
-                [w_eff[:, None], V_eff, ds[:, None]], axis=1
+                [w_eff[:, None], V_eff, qs[:, None]], axis=1
             )
         )
     return out
@@ -154,14 +167,13 @@ def eff_tables(plan: CategoricalPlan, w, V):
 def _eff_rows(w, V, t2: CategoricalTable, eff2, idx: jax.Array):
     """Gather table t2's per-entity contribution rows by entity index.
 
-    Returns (g [n, 1+R], ds [n]): the [w|V] rows plus the QS−Q²
-    correction (0 for one-hot tables, whose per-row QS is exactly the
-    squared gathered factor row)."""
+    Returns g [n, 2+R] = [w | V | qs] uniformly: qs is the true
+    per-row Σᵢ x²V² (Σ_r V² for one-hot tables), precomputed in the
+    [B]-sized source so consumers never square-and-reduce gathered
+    rows."""
     if eff2 is None:
-        g = _wv_rows(w, V, t2, idx)
-        return g, None
-    rows = _pad_zero_row(eff2)[idx]
-    return rows[:, :-1], rows[:, -1]
+        return _wv_rows(w, V, t2, idx)
+    return _pad_zero_row(eff2)[idx]
 
 
 def _score_parts(plan: CategoricalPlan, w, V, w0, ent_maps, ones,
@@ -181,12 +193,10 @@ def _score_parts(plan: CategoricalPlan, w, V, w0, ent_maps, ones,
     Q = jnp.zeros((n, rank), dtype)
     qs_sum = jnp.zeros((n,), dtype)
     for t2, eff2, idx in zip(plan.tables, eff, ent_maps):
-        g, ds = _eff_rows(w, V, t2, eff2, idx)  # [n, 1+R]
+        g = _eff_rows(w, V, t2, eff2, idx)  # [n, 2+R] = [w | V | qs]
         lin = lin + g[:, 0]
-        Q = Q + g[:, 1:]
-        qs_sum = qs_sum + jnp.sum(g[:, 1:] ** 2, axis=1)
-        if ds is not None:
-            qs_sum = qs_sum + ds
+        Q = Q + g[:, 1 : 1 + rank]
+        qs_sum = qs_sum + g[:, 1 + rank]
     score = ones * w0 + lin
     if rank:
         score = score + 0.5 * (jnp.sum(Q * Q, axis=1) - qs_sum)
@@ -242,8 +252,7 @@ def _build_table_gram(
     V: jax.Array,
     w0,
     eff,  # per-table effective rows (eff_tables)
-    own_rows: jax.Array,  # [B, 1+R] own per-entity [w|V]
-    own_ds: Optional[jax.Array],  # [B] own QS−Q² correction or None
+    own_rows: jax.Array,  # [B, 2+R] own per-entity [w | V | qs]
     tau_tile: jax.Array,
     cfg: GibbsConfig,
     interpret: bool,
@@ -267,16 +276,12 @@ def _build_table_gram(
     max_fin = t.max_fin
     B = t.n_cols
 
-    # own-table weight rows per (tile, slot): tiny ([K, S, 1+R]); the
-    # kernel reconstructs the own contribution from these with a
-    # one-hot matmul, so own rows are never gathered at [N] scale
+    # own-table weight rows per (tile, slot): tiny ([K, S, 2+R]); the
+    # kernel reconstructs the own contribution (incl. its precomputed
+    # qs column) from these with a one-hot matmul, so own rows are
+    # never gathered at [N] scale
     wv_own = _pad_zero_row(own_rows)
-    wvsl = wv_own[t.ent_slots]  # [K, S, 1+R]
-    ds_pad = None
-    if own_ds is not None:
-        # the kernel computes the own QS as Ṽ²; fold the per-entity
-        # correction Σ_r(S̃−Ṽ²) into the qs operand via one tile gather
-        ds_pad = _pad_zero_row(own_ds[:, None])
+    wvsl = wv_own[t.ent_slots]  # [K, S, 2+R]
 
     def pad_k(arr, fill, tile_shape):
         flat = arr.reshape((K,) + tile_shape)
@@ -291,7 +296,7 @@ def _build_table_gram(
         cont_in=pad_k(t.cont_in, 0, ()),
         cont_out=pad_k(t.cont_out, 0, ()),
         last_slot=pad_k(t.last_slot, 0, ()),
-        wvsl=pad_k(wvsl, 0.0, (S, rank + 1)),
+        wvsl=pad_k(wvsl, 0.0, (S, rank + 2)),
         cross=[
             pad_k(m, t2.n_cols, (T,))
             for t2i, (m, t2) in enumerate(
@@ -304,8 +309,6 @@ def _build_table_gram(
         fin_idx=t.fin_idx,
         fin_mask=t.fin_mask,
     )
-    if ds_pad is not None:
-        xs["ent"] = pad_k(t.ent_of_tile_row, B, (T,))
     others = [
         (t2, eff[t2i])
         for t2i, t2 in enumerate(plan.tables)
@@ -316,31 +319,25 @@ def _build_table_gram(
         gram_carry, G = carry
         src_c = xc["src"].reshape(Kc * T)
         ones_c = (src_c < plan.n_rows).astype(dtype)
-        # the OTHER tables' gathered [w|V] rows feed the kernel as-is
-        # (a bitcast, no relayout); the kernel sums their lin/Q/qs
-        # contributions on the VPU in VMEM.  Materialising the sums
-        # here instead (round-2 layout) cost ~150 ms of a 606 ms
-        # ML-10M rank-32 sweep in [N, R]-scale slice-adds, the meta
-        # stack, and slot layout copies.
+        # the OTHER tables' gathered [w | V | qs] rows feed the kernel
+        # as-is (a bitcast, no relayout); the kernel sums their
+        # lin/Q/qs contributions on the VPU in VMEM.  Materialising
+        # the sums here instead (round-2 layout) cost ~150 ms of a
+        # 606 ms ML-10M rank-32 sweep in [N, R]-scale slice-adds, the
+        # meta stack, and slot layout copies.
         gths = []
-        ds_tot = jnp.zeros((Kc * T,), dtype)
         for (t2, eff2), mc in zip(others, xc["cross"]):
-            gth, ds2 = _eff_rows(w, V, t2, eff2, mc.reshape(Kc * T))
-            gths.append(gth.reshape(Kc, T, 1 + rank))
-            if ds2 is not None:
-                ds_tot = ds_tot + ds2
-        if ds_pad is not None:
-            ds_tot = ds_tot + ds_pad[xc["ent"].reshape(Kc * T)][:, 0]
+            gth = _eff_rows(w, V, t2, eff2, mc.reshape(Kc * T))
+            gths.append(gth.reshape(Kc, T, 2 + rank))
         lin0 = ones_c * w0 - xc["tau"].reshape(Kc * T)
         aux = jnp.stack(
             [
                 xc["slot"].reshape(Kc * T).astype(dtype),
                 lin0,
-                ds_tot,
                 ones_c,
             ],
             axis=1,
-        ).reshape(Kc, T, 4)
+        ).reshape(Kc, T, 3)
         flat_c, gram_carry = fused_tile_gram_cross(
             aux, tuple(gths), xc["wvsl"],
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
@@ -416,7 +413,14 @@ def _table_pass(
 
     G = _build_table_gram(
         plan, ti, w, V, w0, eff,
-        jnp.concatenate([w_t[:, None], V_t], axis=1), None,
+        jnp.concatenate(
+            [
+                w_t[:, None],
+                V_t,
+                jnp.sum(V_t * V_t, axis=1)[:, None],
+            ],
+            axis=1,
+        ),
         tau_tile, cfg, interpret,
     )
 
@@ -624,13 +628,10 @@ def _ea_table_pass(
     dtype = V.dtype
     if eff is None:
         eff = eff_tables(plan, w, V)
-    own = eff[ti]
-    own_rows = own[:, :-1]  # [B, 1+R]
-    own_ds = own[:, -1]
+    own = eff[ti]  # [B, 2+R] = [w̃ | Ṽ | qs̃]
 
     G = _build_table_gram(
-        plan, ti, w, V, w0, eff, own_rows, own_ds, tau_tile, cfg,
-        interpret,
+        plan, ti, w, V, w0, eff, own, tau_tile, cfg, interpret,
     )
     if cfg.axis_name is not None:
         # side features couple entities across the whole table, so the

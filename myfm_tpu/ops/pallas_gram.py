@@ -460,14 +460,21 @@ def _fused_gram_cross_kernel(
     fast_matmul: bool = False,
 ):
     """Cross-absorbing fused Gram: consumes the OTHER tables' gathered
-    [w|V] rows ([T, 1+R] each, straight out of the XLA gathers) and the
-    packed per-row aux [T, 4] = [slot | ones*w0 − tau | ds | ones], and
-    performs the cross sums (lin, Q, per-table squared sums) on the VPU
-    in VMEM.  This removes the [N, R]-scale slice-add materialisations,
-    the meta stack, and the slot layout copies that the separate-meta
-    kernel forced between the gathers and the matmul (measured ~150 ms
-    of a 606 ms ML-10M rank-32 sweep); the gather outputs feed the
-    kernel as-is (a bitcast, no relayout)."""
+    [w | V | qs] rows ([T, 2+R] each, straight out of the XLA gathers)
+    and the packed per-row aux [T, 3] = [slot | ones*w0 − tau | ones],
+    and performs the cross sums (lin, Q, qs) on the VPU in VMEM.  This
+    removes the [N, R]-scale slice-add materialisations, the meta
+    stack, and the slot layout copies that the separate-meta kernel
+    forced between the gathers and the matmul (measured ~150 ms of a
+    606 ms ML-10M rank-32 sweep); the gather outputs feed the kernel
+    as-is (a bitcast, no relayout).
+
+    The kernel is VPU-bound, not MXU-bound (measured 2026-08-20:
+    split ≈ bf16 ns/row at every tiling, scripts/microbench_kernel_ts),
+    so each gathered row carries its squared-factor sum qs = Σᵢx²V²
+    PRECOMPUTED in the [B]-sized source — the per-cross square +
+    128-lane reduction (~11 whole-row VPU ops each) collapses to one
+    lane add, and the own-row Σ V² reduction to one column extract."""
     aux_ref = refs[0]
     gth_refs = refs[1 : 1 + n_cross]
     wvsl_ref = refs[1 + n_cross]
@@ -476,7 +483,7 @@ def _fused_gram_cross_kernel(
     a_ref, z_ref, carry_ref = refs[5 + n_cross :]
 
     _, T, _ = aux_ref.shape
-    R = wvsl_ref.shape[2] - 1
+    R = wvsl_ref.shape[2] - 2
     dtype = z_ref.dtype
     g = pl.program_id(0)
 
@@ -486,36 +493,32 @@ def _fused_gram_cross_kernel(
 
     aux = aux_ref[0]
     slot = aux[:, 0].astype(jnp.int32)
-    ones = aux[:, 3]
+    ones = aux[:, 2]
     lin_o = jnp.zeros((T,), dtype)
-    qs_o = aux[:, 2]  # QS−Q² corrections of EA tables (else 0)
+    qs_o = jnp.zeros((T,), dtype)
     Q_o = jnp.zeros((T, R), dtype)
     for c in range(n_cross):
-        gth = gth_refs[c][0]  # [T, 1+R]
+        gth = gth_refs[c][0]  # [T, 2+R] = [w | V | qs]
         lin_o = lin_o + gth[:, 0]
+        qs_o = qs_o + gth[:, 1 + R]
         if R:
-            Q_o = Q_o + gth[:, 1:]
-            qs_o = qs_o + jnp.sum(gth[:, 1:] ** 2, axis=1)
+            Q_o = Q_o + gth[:, 1 : 1 + R]
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (T, wvsl_ref.shape[1]), 1)
     m = (slot[:, None] == iota_s).astype(dtype) * ones[:, None]
-    own = jax.lax.dot_general(  # [T, 1+R] = M @ own-slot weights
+    own = jax.lax.dot_general(  # [T, 2+R] = M @ own-slot weights
         m,
         wvsl_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
-    qf = Q_o + own[:, 1:]
+    qf = Q_o + own[:, 1 : 1 + R]
     score = (
         aux[:, 1]
         + lin_o
         + own[:, 0]
         + 0.5
-        * (
-            jnp.sum(qf * qf, axis=1)
-            - qs_o
-            - jnp.sum(own[:, 1:] ** 2, axis=1)
-        )
+        * (jnp.sum(qf * qf, axis=1) - qs_o - own[:, 1 + R])
     )
     e = score * ones
     _emit_gram_tail(
@@ -530,9 +533,9 @@ def _fused_gram_cross_kernel(
     jax.jit, static_argnames=("S", "interpret", "fast_matmul")
 )
 def fused_tile_gram_cross(
-    aux: jax.Array,  # [K, T, 4]: [slot | ones*w0 − tau | ds | ones]
-    gths,  # tuple of [K, T, 1+R] — other tables' gathered [w|V] rows
-    wvsl: jax.Array,  # [K, S, 1+R]
+    aux: jax.Array,  # [K, T, 3]: [slot | ones*w0 − tau | ones]
+    gths,  # tuple of [K, T, 2+R] — others' gathered [w | V | qs] rows
+    wvsl: jax.Array,  # [K, S, 2+R] own [w | V | qs] rows per slot
     cont_in: jax.Array,
     cont_out: jax.Array,
     last_slot: jax.Array,
@@ -543,12 +546,13 @@ def fused_tile_gram_cross(
 ):
     """Cross-absorbing variant of ``fused_tile_gram``: same flat
     partial-Gram output contract, but the kernel consumes the raw
-    cross-table gather outputs and packs lin/Q/qs sums on the VPU."""
+    cross-table gather outputs (each row carrying its precomputed
+    qs = Σx²V² column) and packs lin/Q/qs sums on the VPU."""
     gths = tuple(gths)
     n_cross = len(gths)
     K, T, _ = aux.shape
     W = wvsl.shape[2]
-    R = W - 1
+    R = W - 2
     D = R + 2
     Dp = -(-D // 8) * 8
     if carry_in is None:
@@ -557,11 +561,11 @@ def fused_tile_gram_cross(
         num_scalar_prefetch=3,
         grid=(K,),
         in_specs=[
-            pl.BlockSpec((1, T, 4), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((1, T, 3), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         + [
-            pl.BlockSpec((1, T, 1 + R), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((1, T, W), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(n_cross)
         ]
@@ -605,17 +609,17 @@ def fused_tile_gram_cross_reference(
     note: NOT Dp-strided like the kernel; compare via final_part
     indices scaled accordingly or reshape both to [K, S, ...])."""
     K, T, _ = aux.shape
-    R = wvsl.shape[2] - 1
+    R = wvsl.shape[2] - 2
     D = R + 2
     slot = aux[:, :, 0].astype(jnp.int32)
-    ones = aux[:, :, 3]
+    ones = aux[:, :, 2]
     lin_o = jnp.zeros((K, T), aux.dtype)
-    qs_o = aux[:, :, 2]
+    qs_o = jnp.zeros((K, T), aux.dtype)
     Q_o = jnp.zeros((K, T, R), aux.dtype)
     for gth in gths:
         lin_o = lin_o + gth[:, :, 0]
-        Q_o = Q_o + gth[:, :, 1:]
-        qs_o = qs_o + jnp.sum(gth[:, :, 1:] ** 2, axis=2)
+        Q_o = Q_o + gth[:, :, 1 : 1 + R]
+        qs_o = qs_o + gth[:, :, 1 + R]
     m = (
         slot[:, :, None] == jnp.arange(S)[None, None, :]
     ).astype(aux.dtype) * ones[:, :, None]
@@ -623,17 +627,13 @@ def fused_tile_gram_cross_reference(
         "kts,ksc->ktc", m, wvsl,
         precision=jax.lax.Precision.HIGHEST,
     )
-    qf = Q_o + own[:, :, 1:]
+    qf = Q_o + own[:, :, 1 : 1 + R]
     score = (
         aux[:, :, 1]
         + lin_o
         + own[:, :, 0]
         + 0.5
-        * (
-            jnp.sum(qf * qf, axis=2)
-            - qs_o
-            - jnp.sum(own[:, :, 1:] ** 2, axis=2)
-        )
+        * (jnp.sum(qf * qf, axis=2) - qs_o - own[:, :, 1 + R])
     )
     e = score * ones
     z = jnp.concatenate(
@@ -679,7 +679,7 @@ def fused_gram_vmem_bytes(
 
     Models the max of the two kernel layouts sharing a tiling:
     ``fused_tile_gram`` (slot + meta + q — the VI path) and
-    ``fused_tile_gram_cross`` (aux + n_cross gathered [T, 1+R] cross
+    ``fused_tile_gram_cross`` (aux + n_cross gathered [T, 2+R] cross
     operands — the Gibbs path)."""
     D = q_cols + 2
     Dp = -(-D // 8) * 8
@@ -693,9 +693,9 @@ def fused_gram_vmem_bytes(
         + tile(T, 3, itemsize)
         + tile(T, q_cols, itemsize)
     )
-    # cross layout: aux [T,4] + n_cross × [T, w_cols]
-    in_cross = tile(T, 4, itemsize) + n_cross * tile(
-        T, w_cols, itemsize
+    # cross layout: aux [T,3] + n_cross × [T, w_cols+1] ([w|V|qs] rows)
+    in_cross = tile(T, 3, itemsize) + n_cross * tile(
+        T, w_cols + 1, itemsize
     )
     double_buffered = (
         max(in_meta, in_cross)
@@ -774,12 +774,12 @@ def gram_probe_ok(T: int, S: int, q_cols: int,
             )
         ).lower(*args).compile()
         cargs = (
-            jax.ShapeDtypeStruct((K, T, 4), dtype),
+            jax.ShapeDtypeStruct((K, T, 3), dtype),
             tuple(
-                jax.ShapeDtypeStruct((K, T, w_cols), dtype)
+                jax.ShapeDtypeStruct((K, T, w_cols + 1), dtype)
                 for _ in range(n_cross)
             ),
-            jax.ShapeDtypeStruct((K, S, w_cols), dtype),
+            jax.ShapeDtypeStruct((K, S, w_cols + 1), dtype),
             *kints,
             jax.ShapeDtypeStruct((D, D), dtype),
         )

@@ -21,13 +21,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """block_until_ready through the axon tunnel returns early on
+    in-flight buffers (see bench.py); fetching a scalar element forces
+    real completion."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 def timed(fn, *args, reps=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
     return (time.time() - t0) / reps
 
 
@@ -59,6 +67,11 @@ def main():
         plan, y, cfg, rank=rank, init_stdev=0.1, random_seed=42,
         dtype=np.float32,
     )
+    # tr.cfg, NOT cfg: the trainer resolves gram_fast_matmul (auto ->
+    # "split"/"bf16"); the raw cfg would profile the HIGHEST 6-pass
+    # matmul the real fit() loop never runs (same note as bench.py)
+    cfg = tr.cfg
+    print(f"gram_fast_matmul={cfg.gram_fast_matmul}", flush=True)
     master = jax.random.PRNGKey(42)
     state = tr._initialize(jax.random.fold_in(master, 0))
     core = state.core
@@ -76,51 +89,56 @@ def main():
 
     eff = C.eff_tables(plan, w, V)
 
-    # full sweep baseline
-    def full_sweep(st, k):
-        return C.categorical_sweep(
-            plan, st, tr.y, tr.y_tiles, k, cfg, False
-        )
-
-    full_j = jax.jit(full_sweep)
-    dt_full = timed(full_j, state, jax.random.fold_in(master, 1))
+    # NB: every jitted wrapper below takes the plan / y arrays as
+    # ARGUMENTS — closing over a 10M-row device array bakes it into
+    # the HLO as a constant, and the remote-compile tunnel rejects
+    # the resulting request body (HTTP 413, observed 2026-08-20).
+    full_j = jax.jit(C.categorical_sweep, static_argnums=(5, 6))
+    dt_full = timed(
+        full_j, plan, state, tr.y, tr.y_tiles,
+        jax.random.fold_in(master, 1), cfg, False,
+    )
     print(f"full sweep: {dt_full*1e3:.1f} ms", flush=True)
 
-    # eff_tables alone
-    eff_j = jax.jit(lambda w, V: C.eff_tables(plan, w, V))
-    dt_eff = timed(eff_j, w, V)
-    print(f"eff_tables: {dt_eff*1e3:.1f} ms", flush=True)
+    # eff_tables alone (all-None for pure one-hot designs — skip)
+    if any(e is not None for e in eff):
+        eff_j = jax.jit(C.eff_tables)
+        dt_eff = timed(eff_j, plan, w, V)
+        print(f"eff_tables: {dt_eff*1e3:.1f} ms", flush=True)
+
+    def gram_only(plan, ti, w, V, eff, wv, tau_tile):
+        return C._build_table_gram(
+            plan, ti, w, V, w0, eff, wv, tau_tile, cfg, False,
+        )
+
+    gram_j = jax.jit(gram_only, static_argnums=(1,))
 
     for ti, t in enumerate(plan.tables):
         tau_tile = tr.y_tiles[ti]
         w_t = C._table_slice(w, t)
         V_t = C._table_slice(V, t)
-        wv = jnp.concatenate([w_t[:, None], V_t], axis=1)
+        wv = jnp.concatenate(
+            [w_t[:, None], V_t, jnp.sum(V_t * V_t, axis=1)[:, None]],
+            axis=1,
+        )
 
-        def gram_only(w, V, eff, wv):
-            return C._build_table_gram(
-                plan, ti, w, V, w0, eff, wv, None, tau_tile, cfg,
-                False,
-            )
-
-        gram_j = jax.jit(gram_only)
-        dt_g = timed(gram_j, w, V, eff, wv)
-        G = gram_j(w, V, eff, wv)
+        dt_g = timed(gram_j, plan, ti, w, V, eff, wv, tau_tile)
+        G = gram_j(plan, ti, w, V, eff, wv, tau_tile)
 
         g_t = plan.group_index[t.col_offset : t.col_offset + t.n_cols]
         nw_t = noise_w[t.noise_feat]
         nV_t = noise_V[t.noise_feat]
 
-        def draws_only(G, w_t, V_t, nw_t, nV_t, wm):
+        def draws_only(G, w_t, V_t, g_t, nw_t, nV_t, wm):
             return C._entity_draws(
                 G, w_t, V_t, g_t, alpha, lambda_w, mu_w, lambda_V,
                 mu_V, nw_t, nV_t, cfg, wm,
             )
 
         dj0 = jax.jit(functools.partial(draws_only, wm=False))
-        dt_d = timed(dj0, G, w_t, V_t, nw_t, nV_t)
+        dt_d = timed(dj0, G, w_t, V_t, g_t, nw_t, nV_t)
         dj1 = jax.jit(functools.partial(draws_only, wm=True))
-        dt_dm = timed(dj1, G, w_t, V_t, nw_t, nV_t)
+        dt_dm = timed(dj1, G, w_t, V_t, g_t, nw_t, nV_t)
         print(
             f"table {ti}: B={t.n_cols:6d} gram={dt_g*1e3:7.1f} ms  "
             f"draws={dt_d*1e3:7.1f} ms  draws+moments={dt_dm*1e3:7.1f} ms",

@@ -476,20 +476,31 @@ def test_fused_gram_cross_vs_separate_meta():
     w0 = 0.37
     ones = (rng.random((K, T)) > 0.2).astype(float)
     tau = rng.normal(size=(K, T))
-    ds = np.abs(rng.normal(size=(K, T))) * ones
-    gths = [rng.normal(size=(K, T, 1 + R)) * ones[:, :, None]
-            for _ in range(2)]
+    # per-cross extra qs mass beyond Σ V² (the EA-table case, where the
+    # gathered qs column is the true Σ x²V² > Σ Ṽ²)
+    ds = [np.abs(rng.normal(size=(K, T))) * ones for _ in range(2)]
+    gths = []
+    for c in range(2):
+        core = rng.normal(size=(K, T, 1 + R)) * ones[:, :, None]
+        qs = (core[:, :, 1:] ** 2).sum(axis=2) + ds[c]
+        gths.append(np.concatenate([core, qs[:, :, None]], axis=2))
     slot = np.sort(rng.randint(0, S, size=(K, T)), axis=1).astype(
         np.int32
     )
-    wvsl = rng.normal(size=(K, S, 1 + R))
+    wv_core = rng.normal(size=(K, S, 1 + R))
+    # own qs column must equal Σ V² for the separate-meta comparison
+    # below (the meta kernel recomputes the own squared sum itself)
+    wvsl = np.concatenate(
+        [wv_core, (wv_core[:, :, 1:] ** 2).sum(axis=2)[:, :, None]],
+        axis=2,
+    )
     cont_in = np.array([0, 1, 1], dtype=np.int32)
     cont_out = np.array([1, 1, 0], dtype=np.int32)
     last = np.full(K, S - 1, dtype=np.int32)
     carry0 = rng.normal(size=(R + 2, R + 2))
 
     aux = np.stack(
-        [slot.astype(float), ones * w0 - tau, ds, ones], axis=2
+        [slot.astype(float), ones * w0 - tau, ones], axis=2
     )
     out_c, carry_c = fused_tile_gram_cross(
         jnp.asarray(aux), tuple(jnp.asarray(g) for g in gths),
@@ -514,13 +525,14 @@ def test_fused_gram_cross_vs_separate_meta():
     )
 
     # equivalence with the separate-meta kernel on pre-summed operands
+    # (meta layout: [1+R]-wide own rows, qs recomputed from V)
     lin_o = sum(g[:, :, 0] for g in gths)
-    Q_o = sum(g[:, :, 1:] for g in gths)
-    qs_o = sum((g[:, :, 1:] ** 2).sum(axis=2) for g in gths) + ds
+    Q_o = sum(g[:, :, 1 : 1 + R] for g in gths)
+    qs_o = sum(g[:, :, 1 + R] for g in gths)
     meta = np.stack([ones, ones * w0 + lin_o - tau, qs_o], axis=2)
     out_m, carry_m = fused_tile_gram(
         jnp.asarray(meta), jnp.asarray(Q_o), jnp.asarray(slot),
-        jnp.asarray(wvsl), jnp.asarray(cont_in),
+        jnp.asarray(wv_core), jnp.asarray(cont_in),
         jnp.asarray(cont_out), jnp.asarray(last), S=S,
         carry_in=jnp.asarray(carry0), interpret=True,
     )

@@ -109,6 +109,27 @@ def test_vi_plain_onehot_resolves_fastpath():
     assert vfm.history_.engine == "fastpath"
 
 
+def test_vi_tiny_timesvdpp_resolves_ea_fastpath():
+    """Entity+attribute VI dispatch end-to-end (VERDICT r3 item 8):
+    VariationalFMRegressor on the multi-hot blocked timesvdpp design
+    must resolve to the EA fast path through the rank=3R-then-4R
+    fallback chain (variational.py:124-150), witnessed by the history
+    engine field — never the staged colored path."""
+    from ml_features import build_feature_blocks, load_movielens
+
+    from myfm_tpu import VariationalFMRegressor
+
+    df_tr, df_te = load_movielens("tiny", 0, synthetic=True)
+    X, _, blocks, _, grouping = build_feature_blocks(
+        df_tr, df_te, "timesvdpp_flipped"
+    )
+    y = df_tr.rating.values.astype(np.float64)
+    vfm = VariationalFMRegressor(
+        rank=4, random_seed=3, dtype=np.float32
+    ).fit(X, y, X_rel=blocks, n_iter=2, grouping=grouping)
+    assert vfm.history_.engine == "fastpath"
+
+
 @pytest.mark.parametrize("dtype", [np.float32, np.float64])
 def test_tiny_timesvdpp_never_colored(dtype):
     """Multi-hot blocked design at test scale: groups are too small
