@@ -238,6 +238,8 @@ class CategoricalTable:
 
     src: jax.Array  # [NT] int32 — main-order row index (pad = N)
     slot: jax.Array  # [NT] int32 — local entity slot within tile (< S)
+    slot_f: jax.Array  # [NT] float — slot with pad rows = S, the Gram
+    #     kernel's lane-dense slot/validity operand (derived on device)
     ent_of_tile_row: jax.Array  # [NT] int32 — local entity id (pad = B)
     cont_in: jax.Array  # [K] int32 — tile starts with a continued entity
     cont_out: jax.Array  # [K] int32 — tile's last entity continues on
@@ -273,9 +275,9 @@ class CategoricalTable:
 jax.tree_util.register_dataclass(
     CategoricalTable,
     data_fields=[
-        "src", "slot", "ent_of_tile_row", "cont_in", "cont_out",
-        "last_slot", "ent_slots", "final_part", "fin_win", "fin_idx",
-        "fin_mask", "cardinality", "ent_main", "noise_feat",
+        "src", "slot", "slot_f", "ent_of_tile_row", "cont_in",
+        "cont_out", "last_slot", "ent_slots", "final_part", "fin_win",
+        "fin_idx", "fin_mask", "cardinality", "ent_main", "noise_feat",
     ],
     meta_fields=[
         "col_offset", "n_cols", "n_tiles", "tile_rows", "tile_entities",
@@ -687,9 +689,12 @@ def compile_categorical_table(
         [ent_main_dev, jnp.asarray([n_entities], jnp.int32)]
     )
     ent_tile_dev = ent_pad_dev[jnp.minimum(src_dev, n_rows)]
+    slot_dev = _upload_ids(np.asarray(slot, np.int64), S)
+    slot_f_dev = jnp.where(src_dev < n_rows, slot_dev, S).astype(dtype)
     return CategoricalTable(
         src=src_dev,
-        slot=_upload_ids(np.asarray(slot, np.int64), S),
+        slot=slot_dev,
+        slot_f=slot_f_dev,
         ent_of_tile_row=ent_tile_dev,
         cont_in=jnp.asarray(cont_in),
         cont_out=jnp.asarray(cont_out),

@@ -250,15 +250,21 @@ def _build_table_gram(
     ti: int,
     w: jax.Array,
     V: jax.Array,
-    w0,
     eff,  # per-table effective rows (eff_tables)
     own_rows: jax.Array,  # [B, 2+R] own per-entity [w | V | qs]
     tau_tile: jax.Array,
     cfg: GibbsConfig,
     interpret: bool,
 ):
-    """Per-entity Gram G_u = Σ_{n∈u} z zᵀ, z = [1 | e | φ_other], for
+    """Per-entity Gram G_u = Σ_{n∈u} z zᵀ, z = [1 | e⁰ | φ_other], for
     table ti — reconstructed chunk-by-chunk from the current weights.
+
+    e⁰ EXCLUDES w0 (the kernel never sees it): consumers apply the
+    exact rank-1 correction z₁ += w0·z₀ to the Gram statistics
+    (_entity_draws / _ea_table_pass), which keeps the kernel's per-row
+    side data down to two lane-dense [K, T] vectors (slot, τ) — the
+    sweep is bandwidth-bound on this hardware, and the 128-lane-padded
+    aux operand it replaces cost ~1 KB/row per table pass.
 
     Working set stays O(chunk) instead of O(N): at ML-10M scale the
     [NT, R]-sized temporaries (phi, z, Q) would otherwise hold ~4 GB
@@ -291,8 +297,7 @@ def _build_table_gram(
         return flat.reshape((n_chunks, Kc) + tile_shape)
 
     xs = dict(
-        src=pad_k(t.src, plan.n_rows, (T,)),
-        slot=pad_k(t.slot, 0, (T,)),
+        slot_f=pad_k(t.slot_f, float(S), (T,)),
         cont_in=pad_k(t.cont_in, 0, ()),
         cont_out=pad_k(t.cont_out, 0, ()),
         last_slot=pad_k(t.last_slot, 0, ()),
@@ -317,8 +322,6 @@ def _build_table_gram(
 
     def chunk_body(carry, xc):
         gram_carry, G = carry
-        src_c = xc["src"].reshape(Kc * T)
-        ones_c = (src_c < plan.n_rows).astype(dtype)
         # the OTHER tables' gathered [w | V | qs] rows feed the kernel
         # as-is (a bitcast, no relayout); the kernel sums their
         # lin/Q/qs contributions on the VPU in VMEM.  Materialising
@@ -329,17 +332,8 @@ def _build_table_gram(
         for (t2, eff2), mc in zip(others, xc["cross"]):
             gth = _eff_rows(w, V, t2, eff2, mc.reshape(Kc * T))
             gths.append(gth.reshape(Kc, T, 2 + rank))
-        lin0 = ones_c * w0 - xc["tau"].reshape(Kc * T)
-        aux = jnp.stack(
-            [
-                xc["slot"].reshape(Kc * T).astype(dtype),
-                lin0,
-                ones_c,
-            ],
-            axis=1,
-        ).reshape(Kc, T, 3)
         flat_c, gram_carry = fused_tile_gram_cross(
-            aux, tuple(gths), xc["wvsl"],
+            xc["slot_f"], xc["tau"], tuple(gths), xc["wvsl"],
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
             carry_in=gram_carry, interpret=interpret,
             fast_matmul=cfg.gram_fast_matmul or False,
@@ -412,7 +406,7 @@ def _table_pass(
         eff = eff_tables(plan, w, V)
 
     G = _build_table_gram(
-        plan, ti, w, V, w0, eff,
+        plan, ti, w, V, eff,
         jnp.concatenate(
             [
                 w_t[:, None],
@@ -455,8 +449,9 @@ def _table_pass(
             )
 
         w_new_w, V_new_w, parts = _entity_draws(
-            Gw, win(w_t), win(V_t), win(g_t), alpha, lambda_w, mu_w,
-            lambda_V, mu_V, win(nw_t), win(nV_t), cfg, want_moments,
+            Gw, w0, win(w_t), win(V_t), win(g_t), alpha, lambda_w,
+            mu_w, lambda_V, mu_V, win(nw_t), win(nV_t), cfg,
+            want_moments,
         )
         w_new = lax.all_gather(
             w_new_w, cfg.axis_name, axis=0, tiled=True
@@ -477,8 +472,8 @@ def _table_pass(
             # every device.
             G = lax.psum(G, cfg.axis_name)
         w_new, V_new, parts = _entity_draws(
-            G, w_t, V_t, g_t, alpha, lambda_w, mu_w, lambda_V, mu_V,
-            nw_t, nV_t, cfg, want_moments,
+            G, w0, w_t, V_t, g_t, alpha, lambda_w, mu_w, lambda_V,
+            mu_V, nw_t, nV_t, cfg, want_moments,
         )
         moments = parts if want_moments else None
 
@@ -487,18 +482,27 @@ def _table_pass(
     return w, V, moments
 
 
-def _entity_draws(G, w_t, V_t, g_t, alpha, lambda_w, mu_w, lambda_V,
-                  mu_V, noise_w_t, noise_V_t, cfg, want_moments):
+def _entity_draws(G, w0, w_t, V_t, g_t, alpha, lambda_w, mu_w,
+                  lambda_V, mu_V, noise_w_t, noise_V_t, cfg,
+                  want_moments):
     """Per-entity w draw + factor scan from the Gram statistics.
+
+    The kernel builds G over z = [1 | e⁰ | φ] with e⁰ = e − w0; the
+    true-residual statistics follow exactly from z₁ = z₁⁰ + w0·z₀:
+        E1 = E1⁰ + w0·card,  Σeφ_r = Σe⁰φ_r + w0·Σφ_r,
+        Σe² = Σe⁰² + 2·w0·E1⁰ + w0²·card
+    ([B]-sized arithmetic — the w0 operand and the per-sweep aux
+    rebuild the kernel would otherwise need cost ~1 KB/row of HBM).
 
     Operates on any contiguous entity window (the full table, or one
     device's reduce-scatter shard); all operands are window-sliced.
     Returns (w_new, V_new, (Σe, Σe²) partial sums over the window)."""
     rank = V_t.shape[1]
     card = G[:, 0, 0]
-    E1 = G[:, 0, 1]
     Sphi = G[:, 0, 2:]  # [B, R]
-    EQphi0 = G[:, 1, 2:]  # [B, R] — pre-draw Σ e φ (kept for moments)
+    E1_0 = G[:, 0, 1]  # Σ e⁰ (w0-less residual)
+    E1 = E1_0 + w0 * card
+    EQphi0 = G[:, 1, 2:] + w0 * Sphi  # [B, R] pre-draw Σ e φ
 
     lam_w = lambda_w[g_t]
     mu_wg = mu_w[g_t]
@@ -566,7 +570,12 @@ def _entity_draws(G, w_t, V_t, g_t, alpha, lambda_w, mu_w, lambda_V,
     parts = None
     if want_moments:
         dV = V_new - V_t  # [B, R]
-        E2 = jnp.sum(G[:, 1, 1])
+        # Σe² from the w0-less kernel stats (see docstring identity)
+        E2 = (
+            jnp.sum(G[:, 1, 1])
+            + 2.0 * w0 * jnp.sum(E1_0)
+            + w0 * w0 * jnp.sum(card)
+        )
         dphi = jnp.sum(dV * Sphi, axis=1)  # [B] Σ_r δ_r Sφ_r
         sum_e = jnp.sum(E1) + jnp.sum(dw * card) + jnp.sum(dphi)
         cross = jnp.sum(dw * E1) + jnp.sum(dV * EQphi0)
@@ -631,7 +640,7 @@ def _ea_table_pass(
     own = eff[ti]  # [B, 2+R] = [w̃ | Ṽ | qs̃]
 
     G = _build_table_gram(
-        plan, ti, w, V, w0, eff, own, tau_tile, cfg, interpret,
+        plan, ti, w, V, eff, own, tau_tile, cfg, interpret,
     )
     if cfg.axis_name is not None:
         # side features couple entities across the whole table, so the
@@ -640,9 +649,16 @@ def _ea_table_pass(
         # every device
         G = lax.psum(G, cfg.axis_name)
 
-    # φ→Q conversion: G_Q = M G Mᵀ, M = I + Σ_r Ṽ_r e_{2+r} e₀ᵀ
+    # φ→Q (and e⁰→e) conversion: G' = M G Mᵀ with
+    # M = I + w0·e₁e₀ᵀ + Σ_r Ṽ_r e_{2+r} e₀ᵀ — the kernel's z is
+    # [1 | e−w0 | φ], the color machinery consumes [1 | e | Q]; both
+    # fixes are rank-1 additions of the z₀ column
+    w0b = jnp.broadcast_to(
+        jnp.asarray(w0, dtype), (own.shape[0], 1)
+    )
     vv = jnp.concatenate(
-        [jnp.zeros((own.shape[0], 2), dtype), own[:, 1:-1]], axis=1
+        [jnp.zeros((own.shape[0], 1), dtype), w0b, own[:, 1:-1]],
+        axis=1,
     )  # [B, D]
     G = (
         G

@@ -469,20 +469,32 @@ def _fused_gram_cross_kernel(
     606 ms ML-10M rank-32 sweep); the gather outputs feed the kernel
     as-is (a bitcast, no relayout).
 
-    The kernel is VPU-bound, not MXU-bound (measured 2026-08-20:
-    split ≈ bf16 ns/row at every tiling, scripts/microbench_kernel_ts),
-    so each gathered row carries its squared-factor sum qs = Σᵢx²V²
-    PRECOMPUTED in the [B]-sized source — the per-cross square +
-    128-lane reduction (~11 whole-row VPU ops each) collapses to one
-    lane add, and the own-row Σ V² reduction to one column extract."""
-    aux_ref = refs[0]
-    gth_refs = refs[1 : 1 + n_cross]
-    wvsl_ref = refs[1 + n_cross]
-    carry_in_ref = refs[2 + n_cross]
-    out_ref, carry_out_ref = refs[3 + n_cross : 5 + n_cross]
-    a_ref, z_ref, carry_ref = refs[5 + n_cross :]
+    The kernel is BANDWIDTH-bound, not MXU-bound (measured 2026-08-20:
+    split ≈ bf16 ns/row at every tiling, a DMA-only variant at ~80% of
+    the full kernel, and ~110-150 GB/s real streaming on this device —
+    scripts/microbench_kernel_ts / microbench_kernel_sections /
+    microbench_hbm).  Two consequences shape the operand layout:
 
-    _, T, _ = aux_ref.shape
+    - each gathered row carries its squared-factor sum qs = Σᵢx²V²
+      PRECOMPUTED in the [B]-sized source ([w | V | qs]) — the
+      per-cross square + 128-lane reduction collapses to one lane add;
+    - the per-row side data is just (slot, τ), fed as two LANE-DENSE
+      [K, T] arrays (4 B/row each) instead of a 128-lane-padded
+      [K, T, c] aux (512 B/row written + read per sweep); the kernel
+      transposes the [2, T] pair to row-major with one tiny MXU dot.
+      w0 is NOT an operand: e is built without it and the consumers
+      apply the exact rank-1 correction (z₁ += w0·z₀) to the Gram
+      statistics downstream (_entity_draws / _ea_table_pass)."""
+    slot_ref = refs[0]
+    tau_ref = refs[1]
+    gth_refs = refs[2 : 2 + n_cross]
+    wvsl_ref = refs[2 + n_cross]
+    carry_in_ref = refs[3 + n_cross]
+    out_ref, carry_out_ref = refs[4 + n_cross : 6 + n_cross]
+    a_ref, z_ref, carry_ref = refs[6 + n_cross :]
+
+    _, T = slot_ref.shape
+    S_own = wvsl_ref.shape[1]
     R = wvsl_ref.shape[2] - 2
     dtype = z_ref.dtype
     g = pl.program_id(0)
@@ -491,9 +503,21 @@ def _fused_gram_cross_kernel(
     def _():
         carry_ref[...] = carry_in_ref[...]
 
-    aux = aux_ref[0]
-    slot = aux[:, 0].astype(jnp.int32)
-    ones = aux[:, 2]
+    # [2, T] lane-major (slot, tau) -> [T, 2] row-major via MXU
+    two = jnp.concatenate([slot_ref[...], tau_ref[...]], axis=0)
+    eye2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (2, 2), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (2, 2), 1)
+    ).astype(dtype)
+    at = jax.lax.dot_general(
+        two, eye2,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [T, 2]
+    slot = at[:, 0].astype(jnp.int32)  # pad rows carry slot == S_own
+    tau = at[:, 1]
+    ones = (slot < S_own).astype(dtype)
     lin_o = jnp.zeros((T,), dtype)
     qs_o = jnp.zeros((T,), dtype)
     Q_o = jnp.zeros((T, R), dtype)
@@ -503,8 +527,8 @@ def _fused_gram_cross_kernel(
         qs_o = qs_o + gth[:, 1 + R]
         if R:
             Q_o = Q_o + gth[:, 1 : 1 + R]
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (T, wvsl_ref.shape[1]), 1)
-    m = (slot[:, None] == iota_s).astype(dtype) * ones[:, None]
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (T, S_own), 1)
+    m = (slot[:, None] == iota_s).astype(dtype)  # pad slot: all-zero
     own = jax.lax.dot_general(  # [T, 2+R] = M @ own-slot weights
         m,
         wvsl_ref[0],
@@ -514,8 +538,8 @@ def _fused_gram_cross_kernel(
     )
     qf = Q_o + own[:, 1 : 1 + R]
     score = (
-        aux[:, 1]
-        + lin_o
+        lin_o
+        - tau
         + own[:, 0]
         + 0.5
         * (jnp.sum(qf * qf, axis=1) - qs_o - own[:, 1 + R])
@@ -533,7 +557,8 @@ def _fused_gram_cross_kernel(
     jax.jit, static_argnames=("S", "interpret", "fast_matmul")
 )
 def fused_tile_gram_cross(
-    aux: jax.Array,  # [K, T, 3]: [slot | ones*w0 − tau | ones]
+    slot_f: jax.Array,  # [K, T] f32 lane-dense slot (pad rows = S)
+    tau: jax.Array,  # [K, T] f32 lane-dense latent target
     gths,  # tuple of [K, T, 2+R] — others' gathered [w | V | qs] rows
     wvsl: jax.Array,  # [K, S, 2+R] own [w | V | qs] rows per slot
     cont_in: jax.Array,
@@ -547,10 +572,12 @@ def fused_tile_gram_cross(
     """Cross-absorbing variant of ``fused_tile_gram``: same flat
     partial-Gram output contract, but the kernel consumes the raw
     cross-table gather outputs (each row carrying its precomputed
-    qs = Σx²V² column) and packs lin/Q/qs sums on the VPU."""
+    qs = Σx²V² column) plus lane-dense per-row (slot, τ) vectors, and
+    packs lin/Q/qs sums on the VPU.  NOTE: e excludes w0 — consumers
+    apply the exact rank-1 w0 correction to the Gram statistics."""
     gths = tuple(gths)
     n_cross = len(gths)
-    K, T, _ = aux.shape
+    K, T = slot_f.shape
     W = wvsl.shape[2]
     R = W - 2
     D = R + 2
@@ -561,7 +588,9 @@ def fused_tile_gram_cross(
         num_scalar_prefetch=3,
         grid=(K,),
         in_specs=[
-            pl.BlockSpec((1, T, 3), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((1, T), lambda k, *_: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda k, *_: (k, 0),
                          memory_space=pltpu.VMEM),
         ]
         + [
@@ -598,39 +627,42 @@ def fused_tile_gram_cross(
             jax.ShapeDtypeStruct((D, D), wvsl.dtype),
         ),
         interpret=interpret,
-    )(cont_in, cont_out, last_slot, aux, *gths, wvsl, carry_in)
+    )(cont_in, cont_out, last_slot, slot_f, tau, *gths, wvsl,
+      carry_in)
     return out.reshape(K * S, Dp, D), carry_out
 
 
 def fused_tile_gram_cross_reference(
-    aux, gths, wvsl, cont_in, cont_out, last_slot, S, carry_in=None,
+    slot_f, tau, gths, wvsl, cont_in, cont_out, last_slot, S,
+    carry_in=None,
 ):
     """jnp oracle of fused_tile_gram_cross (flat [K*S, D, D] output —
     note: NOT Dp-strided like the kernel; compare via final_part
     indices scaled accordingly or reshape both to [K, S, ...])."""
-    K, T, _ = aux.shape
+    K, T = slot_f.shape
     R = wvsl.shape[2] - 2
     D = R + 2
-    slot = aux[:, :, 0].astype(jnp.int32)
-    ones = aux[:, :, 2]
-    lin_o = jnp.zeros((K, T), aux.dtype)
-    qs_o = jnp.zeros((K, T), aux.dtype)
-    Q_o = jnp.zeros((K, T, R), aux.dtype)
+    dtype = wvsl.dtype
+    slot = slot_f.astype(jnp.int32)
+    ones = (slot < S).astype(dtype)
+    lin_o = jnp.zeros((K, T), dtype)
+    qs_o = jnp.zeros((K, T), dtype)
+    Q_o = jnp.zeros((K, T, R), dtype)
     for gth in gths:
         lin_o = lin_o + gth[:, :, 0]
         Q_o = Q_o + gth[:, :, 1 : 1 + R]
         qs_o = qs_o + gth[:, :, 1 + R]
     m = (
         slot[:, :, None] == jnp.arange(S)[None, None, :]
-    ).astype(aux.dtype) * ones[:, :, None]
+    ).astype(dtype)
     own = jnp.einsum(
         "kts,ksc->ktc", m, wvsl,
         precision=jax.lax.Precision.HIGHEST,
     )
     qf = Q_o + own[:, :, 1 : 1 + R]
     score = (
-        aux[:, :, 1]
-        + lin_o
+        lin_o
+        - tau
         + own[:, :, 0]
         + 0.5
         * (jnp.sum(qf * qf, axis=2) - qs_o - own[:, :, 1 + R])
@@ -693,8 +725,9 @@ def fused_gram_vmem_bytes(
         + tile(T, 3, itemsize)
         + tile(T, q_cols, itemsize)
     )
-    # cross layout: aux [T,3] + n_cross × [T, w_cols+1] ([w|V|qs] rows)
-    in_cross = tile(T, 3, itemsize) + n_cross * tile(
+    # cross layout: lane-dense slot+tau [1, T] ×2 + n_cross ×
+    # [T, w_cols+1] ([w|V|qs] rows)
+    in_cross = 2 * tile(1, T, itemsize) + n_cross * tile(
         T, w_cols + 1, itemsize
     )
     double_buffered = (
@@ -774,7 +807,8 @@ def gram_probe_ok(T: int, S: int, q_cols: int,
             )
         ).lower(*args).compile()
         cargs = (
-            jax.ShapeDtypeStruct((K, T, 3), dtype),
+            jax.ShapeDtypeStruct((K, T), dtype),
+            jax.ShapeDtypeStruct((K, T), dtype),
             tuple(
                 jax.ShapeDtypeStruct((K, T, w_cols + 1), dtype)
                 for _ in range(n_cross)
@@ -784,8 +818,8 @@ def gram_probe_ok(T: int, S: int, q_cols: int,
             jax.ShapeDtypeStruct((D, D), dtype),
         )
         jax.jit(
-            lambda a, gs, w, ci, co, ls, cy: fused_tile_gram_cross(
-                a, gs, w, ci, co, ls, S=S, carry_in=cy
+            lambda sf, tv, gs, w, ci, co, ls, cy: fused_tile_gram_cross(
+                sf, tv, gs, w, ci, co, ls, S=S, carry_in=cy
             )
         ).lower(*cargs).compile()
     except Exception:

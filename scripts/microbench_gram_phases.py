@@ -98,21 +98,9 @@ def main():
             flush=True,
         )
 
-    # ---- (b) aux packing ---------------------------------------------
+    # ---- (b) tau tile gather -----------------------------------------
     y_dev = jnp.asarray(np.asarray(y).astype(np.float32))
     tau_tile = C._pad_zero_row(y_dev[:, None])[t.src][:, 0]
-
-    def aux_build(slot, src, tau):
-        ones = (src < plan.n_rows).astype(jnp.float32)
-        lin0 = ones * 0.1 - tau
-        return jnp.stack(
-            [slot.astype(jnp.float32), lin0, ones], axis=1
-        )
-
-    aj = jax.jit(aux_build)
-    dt_aux = timed(aj, t.slot, t.src, tau_tile)
-    print(f"  aux pack: {dt_aux*1e3:7.1f} ms ({dt_aux/NT*1e9:.2f} ns/row)",
-          flush=True)
 
     # ---- (c) kernel + finalize on PRE-GATHERED inputs ----------------
     # chunked exactly like _build_table_gram's scan (full-K single
@@ -125,8 +113,6 @@ def main():
     Kp = n_chunks * Kc
     max_fin = t.max_fin
     B = t.n_cols
-
-    aux_flat = aj(t.slot, t.src, tau_tile)
 
     def pad_k(arr, fill, tile_shape):
         flat = arr.reshape((K,) + tile_shape)
@@ -153,7 +139,8 @@ def main():
         )
     )
     staged = dict(
-        aux=pad_k(aux_flat, 0.0, (T, 3)),
+        slot_f=pad_k(t.slot_f, float(S), (T,)),
+        tau=pad_k(tau_tile, 0.0, (T,)),
         g0=gths[0],
         g1=gths[1],
         wvsl=pad_k(wv_own[t.ent_slots].reshape(K * S, 2 + R), 0.0,
@@ -170,7 +157,8 @@ def main():
         def body(carry, xc):
             gram_carry, G = carry
             flat_c, gram_carry = fused_tile_gram_cross(
-                xc["aux"], (xc["g0"], xc["g1"]), xc["wvsl"],
+                xc["slot_f"], xc["tau"], (xc["g0"], xc["g1"]),
+                xc["wvsl"],
                 xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
                 carry_in=gram_carry, fast_matmul="split",
             )

@@ -66,12 +66,10 @@ def main():
                 continue
             K = max(1, N_TARGET // T)
             NT = K * T
-            aux = rng.normal(size=(K, T, 3)).astype(np.float32)
             slot = np.sort(
                 rng.randint(0, S, (K, T)).astype(np.float32), axis=1
             )
-            aux[:, :, 0] = slot
-            aux[:, :, 2] = 1.0
+            tau = rng.normal(size=(K, T)).astype(np.float32)
             gths = tuple(
                 jnp.asarray(
                     (rng.normal(size=(K, T, 2 + rank)) * 0.1).astype(
@@ -88,14 +86,15 @@ def main():
             ci = jnp.zeros((K,), jnp.int32)
             co = jnp.zeros((K,), jnp.int32)
             ls = jnp.full((K,), S - 1, jnp.int32)
-            aux_d = jnp.asarray(aux)
+            slot_d = jnp.asarray(slot)
+            tau_d = jnp.asarray(tau)
             for mode in ("split", "bf16"):
                 try:
                     dt = timed(
                         functools.partial(
                             run_j, S=S, fast_matmul=mode
                         ),
-                        aux_d, gths, wvsl, ci, co, ls,
+                        slot_d, tau_d, gths, wvsl, ci, co, ls,
                     )
                 except Exception as exc:
                     print(

@@ -108,7 +108,7 @@ def main():
 
     def gram_only(plan, ti, w, V, eff, wv, tau_tile):
         return C._build_table_gram(
-            plan, ti, w, V, w0, eff, wv, tau_tile, cfg, False,
+            plan, ti, w, V, eff, wv, tau_tile, cfg, False,
         )
 
     gram_j = jax.jit(gram_only, static_argnums=(1,))
@@ -131,7 +131,7 @@ def main():
 
         def draws_only(G, w_t, V_t, g_t, nw_t, nV_t, wm):
             return C._entity_draws(
-                G, w_t, V_t, g_t, alpha, lambda_w, mu_w, lambda_V,
+                G, w0, w_t, V_t, g_t, alpha, lambda_w, mu_w, lambda_V,
                 mu_V, nw_t, nV_t, cfg, wm,
             )
 

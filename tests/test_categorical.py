@@ -473,9 +473,14 @@ def test_fused_gram_cross_vs_separate_meta():
 
     rng = np.random.RandomState(11)
     K, T, S, R = 3, 16, 4, 3
-    w0 = 0.37
-    ones = (rng.random((K, T)) > 0.2).astype(float)
-    tau = rng.normal(size=(K, T))
+    # pad rows (slot == S) sit at the end of each tile, as in the real
+    # packing; the kernel derives validity from slot alone
+    slot = np.sort(rng.randint(0, S, size=(K, T)), axis=1).astype(
+        np.int32
+    )
+    slot[:, -3:] = S  # a few pad rows per tile
+    ones = (slot < S).astype(float)
+    tau = rng.normal(size=(K, T)) * ones
     # per-cross extra qs mass beyond Σ V² (the EA-table case, where the
     # gathered qs column is the true Σ x²V² > Σ Ṽ²)
     ds = [np.abs(rng.normal(size=(K, T))) * ones for _ in range(2)]
@@ -484,9 +489,6 @@ def test_fused_gram_cross_vs_separate_meta():
         core = rng.normal(size=(K, T, 1 + R)) * ones[:, :, None]
         qs = (core[:, :, 1:] ** 2).sum(axis=2) + ds[c]
         gths.append(np.concatenate([core, qs[:, :, None]], axis=2))
-    slot = np.sort(rng.randint(0, S, size=(K, T)), axis=1).astype(
-        np.int32
-    )
     wv_core = rng.normal(size=(K, S, 1 + R))
     # own qs column must equal Σ V² for the separate-meta comparison
     # below (the meta kernel recomputes the own squared sum itself)
@@ -499,17 +501,17 @@ def test_fused_gram_cross_vs_separate_meta():
     last = np.full(K, S - 1, dtype=np.int32)
     carry0 = rng.normal(size=(R + 2, R + 2))
 
-    aux = np.stack(
-        [slot.astype(float), ones * w0 - tau, ones], axis=2
-    )
+    slot_f = slot.astype(float)
     out_c, carry_c = fused_tile_gram_cross(
-        jnp.asarray(aux), tuple(jnp.asarray(g) for g in gths),
+        jnp.asarray(slot_f), jnp.asarray(tau),
+        tuple(jnp.asarray(g) for g in gths),
         jnp.asarray(wvsl), jnp.asarray(cont_in),
         jnp.asarray(cont_out), jnp.asarray(last), S=S,
         carry_in=jnp.asarray(carry0), interpret=True,
     )
     ref_c, ref_carry = fused_tile_gram_cross_reference(
-        jnp.asarray(aux), tuple(jnp.asarray(g) for g in gths),
+        jnp.asarray(slot_f), jnp.asarray(tau),
+        tuple(jnp.asarray(g) for g in gths),
         jnp.asarray(wvsl), jnp.asarray(cont_in),
         jnp.asarray(cont_out), jnp.asarray(last), S,
         carry_in=jnp.asarray(carry0),
@@ -525,11 +527,12 @@ def test_fused_gram_cross_vs_separate_meta():
     )
 
     # equivalence with the separate-meta kernel on pre-summed operands
-    # (meta layout: [1+R]-wide own rows, qs recomputed from V)
+    # (meta layout: [1+R]-wide own rows, qs recomputed from V; the
+    # cross kernel excludes w0 by contract, so meta lin0 = lin − τ)
     lin_o = sum(g[:, :, 0] for g in gths)
     Q_o = sum(g[:, :, 1 : 1 + R] for g in gths)
     qs_o = sum(g[:, :, 1 + R] for g in gths)
-    meta = np.stack([ones, ones * w0 + lin_o - tau, qs_o], axis=2)
+    meta = np.stack([ones, lin_o - tau, qs_o], axis=2)
     out_m, carry_m = fused_tile_gram(
         jnp.asarray(meta), jnp.asarray(Q_o), jnp.asarray(slot),
         jnp.asarray(wv_core), jnp.asarray(cont_in),
