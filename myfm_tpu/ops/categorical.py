@@ -332,8 +332,9 @@ def _build_table_gram(
         for (t2, eff2), mc in zip(others, xc["cross"]):
             gth = _eff_rows(w, V, t2, eff2, mc.reshape(Kc * T))
             gths.append(gth.reshape(Kc, T, 2 + rank))
+        aux2 = jnp.stack([xc["slot_f"], xc["tau"]], axis=1)
         flat_c, gram_carry = fused_tile_gram_cross(
-            xc["slot_f"], xc["tau"], tuple(gths), xc["wvsl"],
+            aux2, tuple(gths), xc["wvsl"],
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
             carry_in=gram_carry, interpret=interpret,
             fast_matmul=cfg.gram_fast_matmul or False,

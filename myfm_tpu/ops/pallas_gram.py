@@ -478,22 +478,21 @@ def _fused_gram_cross_kernel(
     - each gathered row carries its squared-factor sum qs = Σᵢx²V²
       PRECOMPUTED in the [B]-sized source ([w | V | qs]) — the
       per-cross square + 128-lane reduction collapses to one lane add;
-    - the per-row side data is just (slot, τ), fed as two LANE-DENSE
-      [K, T] arrays (4 B/row each) instead of a 128-lane-padded
+    - the per-row side data is just (slot, τ), fed as ONE LANE-DENSE
+      [K, 2, T] array (8 B/row logical) instead of a 128-lane-padded
       [K, T, c] aux (512 B/row written + read per sweep); the kernel
       transposes the [2, T] pair to row-major with one tiny MXU dot.
       w0 is NOT an operand: e is built without it and the consumers
       apply the exact rank-1 correction (z₁ += w0·z₀) to the Gram
       statistics downstream (_entity_draws / _ea_table_pass)."""
-    slot_ref = refs[0]
-    tau_ref = refs[1]
-    gth_refs = refs[2 : 2 + n_cross]
-    wvsl_ref = refs[2 + n_cross]
-    carry_in_ref = refs[3 + n_cross]
-    out_ref, carry_out_ref = refs[4 + n_cross : 6 + n_cross]
-    a_ref, z_ref, carry_ref = refs[6 + n_cross :]
+    aux_ref = refs[0]  # [1, 2, T]: rows (slot_f, tau), lane-major
+    gth_refs = refs[1 : 1 + n_cross]
+    wvsl_ref = refs[1 + n_cross]
+    carry_in_ref = refs[2 + n_cross]
+    out_ref, carry_out_ref = refs[3 + n_cross : 5 + n_cross]
+    a_ref, z_ref, carry_ref = refs[5 + n_cross :]
 
-    _, T = slot_ref.shape
+    _, _, T = aux_ref.shape
     S_own = wvsl_ref.shape[1]
     R = wvsl_ref.shape[2] - 2
     dtype = z_ref.dtype
@@ -504,7 +503,7 @@ def _fused_gram_cross_kernel(
         carry_ref[...] = carry_in_ref[...]
 
     # [2, T] lane-major (slot, tau) -> [T, 2] row-major via MXU
-    two = jnp.concatenate([slot_ref[...], tau_ref[...]], axis=0)
+    two = aux_ref[0]
     eye2 = (
         jax.lax.broadcasted_iota(jnp.int32, (2, 2), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (2, 2), 1)
@@ -557,8 +556,8 @@ def _fused_gram_cross_kernel(
     jax.jit, static_argnames=("S", "interpret", "fast_matmul")
 )
 def fused_tile_gram_cross(
-    slot_f: jax.Array,  # [K, T] f32 lane-dense slot (pad rows = S)
-    tau: jax.Array,  # [K, T] f32 lane-dense latent target
+    aux2: jax.Array,  # [K, 2, T] f32 lane-dense (slot_f, tau) rows;
+    #     slot_f carries S on pad rows (validity is slot_f < S)
     gths,  # tuple of [K, T, 2+R] — others' gathered [w | V | qs] rows
     wvsl: jax.Array,  # [K, S, 2+R] own [w | V | qs] rows per slot
     cont_in: jax.Array,
@@ -572,12 +571,13 @@ def fused_tile_gram_cross(
     """Cross-absorbing variant of ``fused_tile_gram``: same flat
     partial-Gram output contract, but the kernel consumes the raw
     cross-table gather outputs (each row carrying its precomputed
-    qs = Σx²V² column) plus lane-dense per-row (slot, τ) vectors, and
-    packs lin/Q/qs sums on the VPU.  NOTE: e excludes w0 — consumers
-    apply the exact rank-1 w0 correction to the Gram statistics."""
+    qs = Σx²V² column) plus one lane-dense per-row (slot, τ) operand,
+    and packs lin/Q/qs sums on the VPU.  NOTE: e excludes w0 —
+    consumers apply the exact rank-1 w0 correction to the Gram
+    statistics."""
     gths = tuple(gths)
     n_cross = len(gths)
-    K, T = slot_f.shape
+    K, _, T = aux2.shape
     W = wvsl.shape[2]
     R = W - 2
     D = R + 2
@@ -588,9 +588,7 @@ def fused_tile_gram_cross(
         num_scalar_prefetch=3,
         grid=(K,),
         in_specs=[
-            pl.BlockSpec((1, T), lambda k, *_: (k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T), lambda k, *_: (k, 0),
+            pl.BlockSpec((1, 2, T), lambda k, *_: (k, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         + [
@@ -627,18 +625,19 @@ def fused_tile_gram_cross(
             jax.ShapeDtypeStruct((D, D), wvsl.dtype),
         ),
         interpret=interpret,
-    )(cont_in, cont_out, last_slot, slot_f, tau, *gths, wvsl,
-      carry_in)
+    )(cont_in, cont_out, last_slot, aux2, *gths, wvsl, carry_in)
     return out.reshape(K * S, Dp, D), carry_out
 
 
 def fused_tile_gram_cross_reference(
-    slot_f, tau, gths, wvsl, cont_in, cont_out, last_slot, S,
+    aux2, gths, wvsl, cont_in, cont_out, last_slot, S,
     carry_in=None,
 ):
     """jnp oracle of fused_tile_gram_cross (flat [K*S, D, D] output —
     note: NOT Dp-strided like the kernel; compare via final_part
     indices scaled accordingly or reshape both to [K, S, ...])."""
+    slot_f = aux2[:, 0, :]
+    tau = aux2[:, 1, :]
     K, T = slot_f.shape
     R = wvsl.shape[2] - 2
     D = R + 2
@@ -725,9 +724,9 @@ def fused_gram_vmem_bytes(
         + tile(T, 3, itemsize)
         + tile(T, q_cols, itemsize)
     )
-    # cross layout: lane-dense slot+tau [1, T] ×2 + n_cross ×
+    # cross layout: lane-dense (slot, tau) [2, T] + n_cross ×
     # [T, w_cols+1] ([w|V|qs] rows)
-    in_cross = 2 * tile(1, T, itemsize) + n_cross * tile(
+    in_cross = tile(2, T, itemsize) + n_cross * tile(
         T, w_cols + 1, itemsize
     )
     double_buffered = (
@@ -807,8 +806,7 @@ def gram_probe_ok(T: int, S: int, q_cols: int,
             )
         ).lower(*args).compile()
         cargs = (
-            jax.ShapeDtypeStruct((K, T), dtype),
-            jax.ShapeDtypeStruct((K, T), dtype),
+            jax.ShapeDtypeStruct((K, 2, T), dtype),
             tuple(
                 jax.ShapeDtypeStruct((K, T, w_cols + 1), dtype)
                 for _ in range(n_cross)
@@ -818,8 +816,8 @@ def gram_probe_ok(T: int, S: int, q_cols: int,
             jax.ShapeDtypeStruct((D, D), dtype),
         )
         jax.jit(
-            lambda sf, tv, gs, w, ci, co, ls, cy: fused_tile_gram_cross(
-                sf, tv, gs, w, ci, co, ls, S=S, carry_in=cy
+            lambda a2, gs, w, ci, co, ls, cy: fused_tile_gram_cross(
+                a2, gs, w, ci, co, ls, S=S, carry_in=cy
             )
         ).lower(*cargs).compile()
     except Exception:

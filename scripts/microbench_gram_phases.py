@@ -156,8 +156,9 @@ def main():
     def kernel_scan(xs):
         def body(carry, xc):
             gram_carry, G = carry
+            aux2 = jnp.stack([xc["slot_f"], xc["tau"]], axis=1)
             flat_c, gram_carry = fused_tile_gram_cross(
-                xc["slot_f"], xc["tau"], (xc["g0"], xc["g1"]),
+                aux2, (xc["g0"], xc["g1"]),
                 xc["wvsl"],
                 xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
                 carry_in=gram_carry, fast_matmul="split",

@@ -86,15 +86,16 @@ def main():
             ci = jnp.zeros((K,), jnp.int32)
             co = jnp.zeros((K,), jnp.int32)
             ls = jnp.full((K,), S - 1, jnp.int32)
-            slot_d = jnp.asarray(slot)
-            tau_d = jnp.asarray(tau)
+            aux2_d = jnp.asarray(
+                np.stack([slot, tau], axis=1)
+            )
             for mode in ("split", "bf16"):
                 try:
                     dt = timed(
                         functools.partial(
                             run_j, S=S, fast_matmul=mode
                         ),
-                        slot_d, tau_d, gths, wvsl, ci, co, ls,
+                        aux2_d, gths, wvsl, ci, co, ls,
                     )
                 except Exception as exc:
                     print(

@@ -501,16 +501,16 @@ def test_fused_gram_cross_vs_separate_meta():
     last = np.full(K, S - 1, dtype=np.int32)
     carry0 = rng.normal(size=(R + 2, R + 2))
 
-    slot_f = slot.astype(float)
+    aux2 = np.stack([slot.astype(float), tau], axis=1)
     out_c, carry_c = fused_tile_gram_cross(
-        jnp.asarray(slot_f), jnp.asarray(tau),
+        jnp.asarray(aux2),
         tuple(jnp.asarray(g) for g in gths),
         jnp.asarray(wvsl), jnp.asarray(cont_in),
         jnp.asarray(cont_out), jnp.asarray(last), S=S,
         carry_in=jnp.asarray(carry0), interpret=True,
     )
     ref_c, ref_carry = fused_tile_gram_cross_reference(
-        jnp.asarray(slot_f), jnp.asarray(tau),
+        jnp.asarray(aux2),
         tuple(jnp.asarray(g) for g in gths),
         jnp.asarray(wvsl), jnp.asarray(cont_in),
         jnp.asarray(cont_out), jnp.asarray(last), S,
