@@ -71,7 +71,7 @@ from .gibbs import (
     draw_lambda,
     draw_mu,
 )
-from .pallas_gram import fused_tile_gram_cross
+from .pallas_gram import fused_tile_gram_cross, gram_tiles_per_step
 from .special import truncated_std_normal_onesided
 
 
@@ -338,6 +338,7 @@ def _build_table_gram(
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
             carry_in=gram_carry, interpret=interpret,
             fast_matmul=cfg.gram_fast_matmul or False,
+            tiles_per_step=gram_tiles_per_step(T, S, rank),
         )
         # consume this chunk's finalized entities into G: a masked
         # dynamic-update-slice over a contiguous entity window — the

@@ -223,7 +223,7 @@ def _fused_gram_kernel(
     _emit_gram_tail(
         g, slot, ones, e, phi_all,
         cont_in_ref, cont_out_ref, last_slot_ref,
-        out_ref, carry_out_ref, a_ref, z_ref, carry_ref,
+        out_ref.at[0], carry_out_ref, a_ref, z_ref, carry_ref,
         interpret_build=interpret_build, fast_matmul=fast_matmul,
         out_rows=out_rows,
     )
@@ -235,9 +235,15 @@ def _emit_gram_tail(
     out_ref, carry_out_ref, a_ref, z_ref, carry_ref,
     *, interpret_build: bool, fast_matmul: bool,
     out_rows: Optional[int] = None,
+    is_last=None,
 ):
     """Shared Gram tail: fill z = [1 | e | phi], build the slot-masked
     A matrix, run the MXU matmul, and thread the cross-tile carry.
+
+    ``out_ref`` is the CURRENT TILE's [S*Dpr, D] output sub-ref
+    (callers pass ``ref.at[0]`` / ``ref.at[0, i]``); ``g`` is the
+    tile's GLOBAL index into the scalar-prefetch arrays; ``is_last``
+    (default: last grid step) tells the tail when to flush carry_out.
 
     ``out_rows`` (default: full D) emits only the Gram's first
     ``out_rows`` ROWS (all D columns) — the entity+attribute VI
@@ -245,7 +251,7 @@ def _emit_gram_tail(
     and the rectangle is ~D/out_rows× cheaper to multiply, store, and
     evolve."""
     T, Dp = z_ref.shape
-    D = out_ref.shape[2]
+    D = out_ref.shape[1]
     rows_eff = D if out_rows is None else out_rows
     # slot stride of the A matrix / out rows (8-aligned)
     Dpr = carry_ref.shape[0] if out_rows is not None else Dp
@@ -303,7 +309,7 @@ def _emit_gram_tail(
         # rank >= 64 after an on-device self-check: the Gibbs draw adds
         # posterior noise >= 1/sqrt(count) per entity, orders above
         # 4e-3; the deterministic VI fixpoint keeps the split path.
-        out_ref[0] = jax.lax.dot_general(
+        out_ref[...] = jax.lax.dot_general(
             a_ref[...].astype(jnp.bfloat16),
             z_ref[:, :D].astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -334,11 +340,11 @@ def _emit_gram_tail(
                 preferred_element_type=dtype,
             )
 
-        out_ref[0] = bdot(a_hi, z_hi) + bdot(a_hi, z_lo) + bdot(
+        out_ref[...] = bdot(a_hi, z_hi) + bdot(a_hi, z_lo) + bdot(
             a_lo, z_hi
         )
     else:
-        out_ref[0] = jax.lax.dot_general(
+        out_ref[...] = jax.lax.dot_general(
             a_ref[...],
             z_ref[:, :D],
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -352,14 +358,17 @@ def _emit_gram_tail(
 
     @pl.when(cont_in_ref[g] > 0)
     def _():
-        out_ref[0, 0:CR, :] += carry_ref[...]
+        out_ref[0:CR, :] += carry_ref[...]
 
     @pl.when(cont_out_ref[g] > 0)
     def _():
         off = pl.multiple_of(last_slot_ref[g] * Dpr, 8)
-        carry_ref[...] = out_ref[0, pl.ds(off, CR), :]
+        carry_ref[...] = out_ref[pl.ds(off, CR), :]
 
-    @pl.when(g == pl.num_programs(0) - 1)
+    if is_last is None:
+        is_last = g == pl.num_programs(0) - 1
+
+    @pl.when(is_last)
     def _():
         carry_out_ref[...] = carry_ref[...]
 
@@ -458,11 +467,29 @@ def _fused_gram_cross_kernel(
     n_cross: int,
     interpret_build: bool = False,
     fast_matmul: bool = False,
+    q_lo: int = 1,
+    n_extra: int = 0,
+    out_rows: Optional[int] = None,
 ):
     """Cross-absorbing fused Gram: consumes the OTHER tables' gathered
     [w | V | qs] rows ([T, 2+R] each, straight out of the XLA gathers)
-    and the packed per-row aux [T, 3] = [slot | ones*w0 − tau | ones],
-    and performs the cross sums (lin, Q, qs) on the VPU in VMEM.  This
+    plus one lane-dense (slot, τ) operand, and performs the cross sums
+    (lin, Q, qs) on the VPU in VMEM.
+
+    Operand blocks batch G = aux_ref.shape[1] tiles per grid step (a
+    static in-kernel loop): the measured ~2.7 µs per-grid-step
+    overhead (DMA issue + semaphores + carry branches) was HALF the
+    kernel wall at T = 256 — G amortizes it G-fold for the same
+    bytes.
+
+    ``q_lo``/``n_extra`` parametrize the gather layout so the VI path
+    shares the kernel: gth columns are [lin-ish.. | z-cols | qs] with
+    the z block (R own-factor columns THEN n_extra ride-along columns,
+    e.g. the VI σ/sv̄ variance sums) starting at ``q_lo`` and
+    qs at column q_lo + R + n_extra.  The Gibbs layout is
+    (q_lo=1, n_extra=0); the VI ext layout [w | wvar | V | σ | sv | qs]
+    is (q_lo=2, n_extra=2R).  ``out_rows`` emits only the Gram's first
+    rows (the VI consumers read the [1 | e | q] rectangle).  This
     removes the [N, R]-scale slice-add materialisations, the meta
     stack, and the slot layout copies that the separate-meta kernel
     forced between the gathers and the matmul (measured ~150 ms of a
@@ -485,75 +512,88 @@ def _fused_gram_cross_kernel(
       w0 is NOT an operand: e is built without it and the consumers
       apply the exact rank-1 correction (z₁ += w0·z₀) to the Gram
       statistics downstream (_entity_draws / _ea_table_pass)."""
-    aux_ref = refs[0]  # [1, 2, T]: rows (slot_f, tau), lane-major
-    gth_refs = refs[1 : 1 + n_cross]
-    wvsl_ref = refs[1 + n_cross]
+    aux_ref = refs[0]  # [1, G, 2, T]: (slot_f, tau) rows, lane-major
+    gth_refs = refs[1 : 1 + n_cross]  # each [1, G, T, W]
+    wvsl_ref = refs[1 + n_cross]  # [1, G, S, W_own]
     carry_in_ref = refs[2 + n_cross]
     out_ref, carry_out_ref = refs[3 + n_cross : 5 + n_cross]
     a_ref, z_ref, carry_ref = refs[5 + n_cross :]
 
-    _, _, T = aux_ref.shape
-    S_own = wvsl_ref.shape[1]
-    R = wvsl_ref.shape[2] - 2
+    _, G, _, T = aux_ref.shape
+    S_own = wvsl_ref.shape[2]
+    R = wvsl_ref.shape[3] - 2
     dtype = z_ref.dtype
-    g = pl.program_id(0)
+    gg = pl.program_id(0)
 
-    @pl.when(g == 0)
+    @pl.when(gg == 0)
     def _():
         carry_ref[...] = carry_in_ref[...]
 
-    # [2, T] lane-major (slot, tau) -> [T, 2] row-major via MXU
-    two = aux_ref[0]
     eye2 = (
         jax.lax.broadcasted_iota(jnp.int32, (2, 2), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (2, 2), 1)
     ).astype(dtype)
-    at = jax.lax.dot_general(
-        two, eye2,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [T, 2]
-    slot = at[:, 0].astype(jnp.int32)  # pad rows carry slot == S_own
-    tau = at[:, 1]
-    ones = (slot < S_own).astype(dtype)
-    lin_o = jnp.zeros((T,), dtype)
-    qs_o = jnp.zeros((T,), dtype)
-    Q_o = jnp.zeros((T, R), dtype)
-    for c in range(n_cross):
-        gth = gth_refs[c][0]  # [T, 2+R] = [w | V | qs]
-        lin_o = lin_o + gth[:, 0]
-        qs_o = qs_o + gth[:, 1 + R]
-        if R:
-            Q_o = Q_o + gth[:, 1 : 1 + R]
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (T, S_own), 1)
-    m = (slot[:, None] == iota_s).astype(dtype)  # pad slot: all-zero
-    own = jax.lax.dot_general(  # [T, 2+R] = M @ own-slot weights
-        m,
-        wvsl_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    qf = Q_o + own[:, 1 : 1 + R]
-    score = (
-        lin_o
-        - tau
-        + own[:, 0]
-        + 0.5
-        * (jnp.sum(qf * qf, axis=1) - qs_o - own[:, 1 + R])
-    )
-    e = score * ones
-    _emit_gram_tail(
-        g, slot, ones, e, Q_o,
-        cont_in_ref, cont_out_ref, last_slot_ref,
-        out_ref, carry_out_ref, a_ref, z_ref, carry_ref,
-        interpret_build=interpret_build, fast_matmul=fast_matmul,
-    )
+    n_z = R + n_extra
+    qs_col = q_lo + n_z
+    for i in range(G):
+        g = gg * G + i  # global tile index (scalar-prefetch arrays)
+        # [2, T] lane-major (slot, tau) -> [T, 2] row-major via MXU
+        at = jax.lax.dot_general(
+            aux_ref[0, i], eye2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [T, 2]
+        slot = at[:, 0].astype(jnp.int32)  # pad rows: slot == S_own
+        tau = at[:, 1]
+        ones = (slot < S_own).astype(dtype)
+        lin_o = jnp.zeros((T,), dtype)
+        qs_o = jnp.zeros((T,), dtype)
+        Z_o = jnp.zeros((T, n_z), dtype)
+        for c in range(n_cross):
+            gth = gth_refs[c][0, i]  # [T, ...]: [.. | z-cols | qs]
+            lin_o = lin_o + gth[:, 0]
+            qs_o = qs_o + gth[:, qs_col]
+            if n_z:
+                Z_o = Z_o + gth[:, q_lo : q_lo + n_z]
+        m = (slot[:, None] == iota_s).astype(dtype)  # pad: all-zero
+        own = jax.lax.dot_general(  # [T, 2+R] = M @ own-slot weights
+            m,
+            wvsl_ref[0, i],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        qf = Z_o[:, :R] + own[:, 1 : 1 + R]
+        score = (
+            lin_o
+            - tau
+            + own[:, 0]
+            + 0.5
+            * (jnp.sum(qf * qf, axis=1) - qs_o - own[:, 1 + R])
+        )
+        e = score * ones
+        _emit_gram_tail(
+            g, slot, ones, e, Z_o,
+            cont_in_ref, cont_out_ref, last_slot_ref,
+            out_ref.at[0, i], carry_out_ref, a_ref, z_ref, carry_ref,
+            interpret_build=interpret_build, fast_matmul=fast_matmul,
+            out_rows=out_rows,
+            is_last=(
+                (gg == pl.num_programs(0) - 1)
+                if i == G - 1
+                else (gg < 0)  # traced always-False
+            ),
+        )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("S", "interpret", "fast_matmul")
+    jax.jit,
+    static_argnames=(
+        "S", "interpret", "fast_matmul", "q_lo", "n_extra", "out_rows",
+        "tiles_per_step",
+    ),
 )
 def fused_tile_gram_cross(
     aux2: jax.Array,  # [K, 2, T] f32 lane-dense (slot_f, tau) rows;
@@ -567,6 +607,10 @@ def fused_tile_gram_cross(
     carry_in: Optional[jax.Array] = None,
     interpret: bool = False,
     fast_matmul: bool = False,
+    q_lo: int = 1,
+    n_extra: int = 0,
+    out_rows: Optional[int] = None,
+    tiles_per_step: int = 1,
 ):
     """Cross-absorbing variant of ``fused_tile_gram``: same flat
     partial-Gram output contract, but the kernel consumes the raw
@@ -574,83 +618,117 @@ def fused_tile_gram_cross(
     qs = Σx²V² column) plus one lane-dense per-row (slot, τ) operand,
     and packs lin/Q/qs sums on the VPU.  NOTE: e excludes w0 —
     consumers apply the exact rank-1 w0 correction to the Gram
-    statistics."""
+    statistics.  ``tiles_per_step`` batches G tiles per grid step
+    (gram_tiles_per_step picks the VMEM-feasible G).
+
+    ``q_lo``/``n_extra``/``out_rows`` select the gather layout and
+    output rectangle (see the kernel docstring); the defaults are the
+    Gibbs [w | V | qs] layout with the full square Gram."""
     gths = tuple(gths)
     n_cross = len(gths)
     K, _, T = aux2.shape
-    W = wvsl.shape[2]
-    R = W - 2
-    D = R + 2
+    W_own = wvsl.shape[2]
+    R = W_own - 2
+    W_gth = gths[0].shape[2] if gths else W_own
+    n_z = R + n_extra
+    assert W_gth == q_lo + n_z + 1, (W_gth, q_lo, R, n_extra)
+    D = n_z + 2
     Dp = -(-D // 8) * 8
+    if out_rows is None:
+        Dpr, CR = Dp, D
+    else:
+        Dpr = -(-out_rows // 8) * 8
+        CR = Dpr
     if carry_in is None:
-        carry_in = jnp.zeros((D, D), wvsl.dtype)
+        carry_in = jnp.zeros((CR, D), wvsl.dtype)
+    # largest step batch that divides K (callers size chunks in powers
+    # of two, so production K hits the full tiles_per_step)
+    G = 1
+    for cand in range(min(tiles_per_step, K), 0, -1):
+        if K % cand == 0:
+            G = cand
+            break
+    KG = K // G
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(K,),
+        grid=(KG,),
         in_specs=[
-            pl.BlockSpec((1, 2, T), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((1, G, 2, T), lambda k, *_: (k, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         + [
-            pl.BlockSpec((1, T, W), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((1, G, T, W_gth),
+                         lambda k, *_: (k, 0, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(n_cross)
         ]
         + [
-            pl.BlockSpec((1, S, W), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((1, G, S, W_own),
+                         lambda k, *_: (k, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, D), lambda k, *_: (0, 0),
+            pl.BlockSpec((CR, D), lambda k, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, S * Dp, D), lambda k, *_: (k, 0, 0),
+            pl.BlockSpec((1, G, S * Dpr, D),
+                         lambda k, *_: (k, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, D), lambda k, *_: (0, 0),
+            pl.BlockSpec((CR, D), lambda k, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((T, S * Dp), wvsl.dtype),
+            pltpu.VMEM((T, S * Dpr), wvsl.dtype),
             pltpu.VMEM((T, Dp), wvsl.dtype),
-            pltpu.VMEM((D, D), wvsl.dtype),
+            pltpu.VMEM((CR, D), wvsl.dtype),
         ],
     )
     out, carry_out = pl.pallas_call(
         functools.partial(
             _fused_gram_cross_kernel, n_cross=n_cross,
             interpret_build=interpret, fast_matmul=fast_matmul,
+            q_lo=q_lo, n_extra=n_extra, out_rows=out_rows,
         ),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((K, S * Dp, D), wvsl.dtype),
-            jax.ShapeDtypeStruct((D, D), wvsl.dtype),
+            jax.ShapeDtypeStruct((KG, G, S * Dpr, D), wvsl.dtype),
+            jax.ShapeDtypeStruct((CR, D), wvsl.dtype),
         ),
         interpret=interpret,
-    )(cont_in, cont_out, last_slot, aux2, *gths, wvsl, carry_in)
-    return out.reshape(K * S, Dp, D), carry_out
+    )(
+        cont_in, cont_out, last_slot,
+        aux2.reshape(KG, G, 2, T),
+        *(gth.reshape(KG, G, T, W_gth) for gth in gths),
+        wvsl.reshape(KG, G, S, W_own),
+        carry_in,
+    )
+    return out.reshape(K * S, Dpr, D), carry_out
 
 
 def fused_tile_gram_cross_reference(
     aux2, gths, wvsl, cont_in, cont_out, last_slot, S,
-    carry_in=None,
+    carry_in=None, q_lo=1, n_extra=0,
 ):
     """jnp oracle of fused_tile_gram_cross (flat [K*S, D, D] output —
-    note: NOT Dp-strided like the kernel; compare via final_part
-    indices scaled accordingly or reshape both to [K, S, ...])."""
+    note: NOT Dp-strided like the kernel, and always the full square
+    Gram; compare via final_part indices scaled accordingly or reshape
+    both to [K, S, ...])."""
     slot_f = aux2[:, 0, :]
     tau = aux2[:, 1, :]
     K, T = slot_f.shape
     R = wvsl.shape[2] - 2
-    D = R + 2
+    n_z = R + n_extra
+    qs_col = q_lo + n_z
+    D = n_z + 2
     dtype = wvsl.dtype
     slot = slot_f.astype(jnp.int32)
     ones = (slot < S).astype(dtype)
     lin_o = jnp.zeros((K, T), dtype)
     qs_o = jnp.zeros((K, T), dtype)
-    Q_o = jnp.zeros((K, T, R), dtype)
+    Z_o = jnp.zeros((K, T, n_z), dtype)
     for gth in gths:
         lin_o = lin_o + gth[:, :, 0]
-        Q_o = Q_o + gth[:, :, 1 : 1 + R]
-        qs_o = qs_o + gth[:, :, 1 + R]
+        Z_o = Z_o + gth[:, :, q_lo : q_lo + n_z]
+        qs_o = qs_o + gth[:, :, qs_col]
     m = (
         slot[:, :, None] == jnp.arange(S)[None, None, :]
     ).astype(dtype)
@@ -658,7 +736,7 @@ def fused_tile_gram_cross_reference(
         "kts,ksc->ktc", m, wvsl,
         precision=jax.lax.Precision.HIGHEST,
     )
-    qf = Q_o + own[:, :, 1 : 1 + R]
+    qf = Z_o[:, :, :R] + own[:, :, 1 : 1 + R]
     score = (
         lin_o
         - tau
@@ -668,7 +746,7 @@ def fused_tile_gram_cross_reference(
     )
     e = score * ones
     z = jnp.concatenate(
-        [ones[:, :, None], e[:, :, None], Q_o], axis=2
+        [ones[:, :, None], e[:, :, None], Z_o], axis=2
     )
     partial = jnp.einsum(
         "kts,ktd,kte->ksde", m, z, z,
@@ -697,7 +775,7 @@ def _padded_tile_bytes(r: int, c: int, itemsize: int = 4) -> int:
 
 def fused_gram_vmem_bytes(
     T: int, S: int, q_cols: int, w_cols: Optional[int] = None,
-    itemsize: int = 4, n_cross: int = 2,
+    itemsize: int = 4, n_cross: int = 2, tiles_per_step: int = 1,
 ) -> int:
     """Modeled scoped-VMEM footprint of one fused Gram grid step.
     Every [T, c] operand pads its lane dim to 128 — so the narrow
@@ -725,16 +803,20 @@ def fused_gram_vmem_bytes(
         + tile(T, q_cols, itemsize)
     )
     # cross layout: lane-dense (slot, tau) [2, T] + n_cross ×
-    # [T, w_cols+1] ([w|V|qs] rows)
-    in_cross = tile(2, T, itemsize) + n_cross * tile(
-        T, w_cols + 1, itemsize
+    # [T, w_cols+1] ([w|V|qs] rows); tiles_per_step = G scales the
+    # per-grid-step in/out blocks (the kernel batches G tiles per step
+    # to amortize the measured ~2.7 µs grid-step overhead)
+    G = tiles_per_step
+    in_cross = G * (
+        tile(2, T, itemsize)
+        + n_cross * tile(T, w_cols + 1, itemsize)
     )
     double_buffered = (
         max(in_meta, in_cross)
-        + tile(S, w_cols, itemsize)
+        + G * tile(S, w_cols, itemsize)
         + dd
-        # outputs: partial Grams [S*Dp, D], carry_out [D,D]
-        + tile(S * Dp, D, itemsize)
+        # outputs: partial Grams G × [S*Dp, D], carry_out [D,D]
+        + G * tile(S * Dp, D, itemsize)
         + dd
     )
     scratch = (
@@ -743,6 +825,24 @@ def fused_gram_vmem_bytes(
         + dd  # carry
     )
     return 2 * double_buffered + scratch
+
+
+def gram_tiles_per_step(
+    T: int, S: int, q_cols: int, w_cols: Optional[int] = None,
+    n_cross: int = 2, max_g: int = 8,
+) -> int:
+    """Largest power-of-two tile batch G whose modeled footprint fits
+    the VMEM budget for the cross kernel at (T, S) — the per-grid-step
+    overhead (~2.7 µs measured on v5e, scripts/microbench_kernel_ts)
+    amortizes G-fold."""
+    g = max_g
+    while g > 1:
+        if fused_gram_vmem_bytes(
+            T, S, q_cols, w_cols, n_cross=n_cross, tiles_per_step=g
+        ) <= GRAM_VMEM_BUDGET:
+            return g
+        g //= 2
+    return 1
 
 
 # Scoped-VMEM budget for choose_tiling candidates: the hardware limit
@@ -815,9 +915,11 @@ def gram_probe_ok(T: int, S: int, q_cols: int,
             *kints,
             jax.ShapeDtypeStruct((D, D), dtype),
         )
+        g_step = gram_tiles_per_step(T, S, q_cols, w_cols)
         jax.jit(
             lambda a2, gs, w, ci, co, ls, cy: fused_tile_gram_cross(
-                a2, gs, w, ci, co, ls, S=S, carry_in=cy
+                a2, gs, w, ci, co, ls, S=S, carry_in=cy,
+                tiles_per_step=g_step,
             )
         ).lower(*cargs).compile()
     except Exception:

@@ -60,8 +60,8 @@ def main():
         fused_tile_gram_cross, static_argnames=("S", "fast_matmul")
     )
 
-    for T in (256, 512, 1024, 2048, 4096):
-        for S in (1, 2, 4, 8):
+    tilings = [(1024, 1), (256, 4), (512, 2)]
+    for T, S in tilings:
             if fused_gram_vmem_bytes(T, S, rank) > GRAM_VMEM_BUDGET:
                 continue
             K = max(1, N_TARGET // T)
@@ -89,13 +89,18 @@ def main():
             aux2_d = jnp.asarray(
                 np.stack([slot, tau], axis=1)
             )
-            for mode in ("split", "bf16"):
+            gths16 = tuple(g.astype(jnp.bfloat16) for g in gths)
+            for mode, gt in (
+                ("split", gths), ("bf16", gths),
+                ("split16", gths16),
+            ):
                 try:
                     dt = timed(
                         functools.partial(
-                            run_j, S=S, fast_matmul=mode
+                            run_j, S=S,
+                            fast_matmul=mode.replace("16", ""),
                         ),
-                        aux2_d, gths, wvsl, ci, co, ls,
+                        aux2_d, gt, wvsl, ci, co, ls,
                     )
                 except Exception as exc:
                     print(
@@ -105,7 +110,7 @@ def main():
                     continue
                 model = _gram_ns_per_row(T, S, rank, n_cross)
                 print(
-                    f"T={T:5d} S={S} {mode:5s}: {dt*1e3:7.1f} ms "
+                    f"T={T:5d} S={S} {mode:7s}: {dt*1e3:7.1f} ms "
                     f"{dt/NT*1e9:6.2f} ns/row  "
                     f"(model[split] {model:5.2f})",
                     flush=True,
