@@ -223,7 +223,7 @@ def _fused_gram_kernel(
     _emit_gram_tail(
         g, slot, ones, e, phi_all,
         cont_in_ref, cont_out_ref, last_slot_ref,
-        out_ref.at[0], carry_out_ref, a_ref, z_ref, carry_ref,
+        out_ref, carry_out_ref, a_ref, z_ref, carry_ref,
         interpret_build=interpret_build, fast_matmul=fast_matmul,
         out_rows=out_rows,
     )
@@ -236,14 +236,18 @@ def _emit_gram_tail(
     *, interpret_build: bool, fast_matmul: bool,
     out_rows: Optional[int] = None,
     is_last=None,
+    oi=(0,),
 ):
     """Shared Gram tail: fill z = [1 | e | phi], build the slot-masked
     A matrix, run the MXU matmul, and thread the cross-tile carry.
 
-    ``out_ref`` is the CURRENT TILE's [S*Dpr, D] output sub-ref
-    (callers pass ``ref.at[0]`` / ``ref.at[0, i]``); ``g`` is the
-    tile's GLOBAL index into the scalar-prefetch arrays; ``is_last``
-    (default: last grid step) tells the tail when to flush carry_out.
+    ``oi`` is the static index prefix of the CURRENT TILE inside
+    ``out_ref`` ((0,) for [1, S*Dpr, D] blocks, (0, i) for the
+    G-batched [1, G, S*Dpr, D] blocks — direct tuple indexing, NOT
+    ``ref.at`` sub-refs, which Mosaic rejects on 128-unaligned last
+    dims); ``g`` is the tile's GLOBAL index into the scalar-prefetch
+    arrays; ``is_last`` (default: last grid step) tells the tail when
+    to flush carry_out.
 
     ``out_rows`` (default: full D) emits only the Gram's first
     ``out_rows`` ROWS (all D columns) — the entity+attribute VI
@@ -251,7 +255,7 @@ def _emit_gram_tail(
     and the rectangle is ~D/out_rows× cheaper to multiply, store, and
     evolve."""
     T, Dp = z_ref.shape
-    D = out_ref.shape[1]
+    D = out_ref.shape[-1]
     rows_eff = D if out_rows is None else out_rows
     # slot stride of the A matrix / out rows (8-aligned)
     Dpr = carry_ref.shape[0] if out_rows is not None else Dp
@@ -309,7 +313,7 @@ def _emit_gram_tail(
         # rank >= 64 after an on-device self-check: the Gibbs draw adds
         # posterior noise >= 1/sqrt(count) per entity, orders above
         # 4e-3; the deterministic VI fixpoint keeps the split path.
-        out_ref[...] = jax.lax.dot_general(
+        out_ref[oi] = jax.lax.dot_general(
             a_ref[...].astype(jnp.bfloat16),
             z_ref[:, :D].astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -340,11 +344,11 @@ def _emit_gram_tail(
                 preferred_element_type=dtype,
             )
 
-        out_ref[...] = bdot(a_hi, z_hi) + bdot(a_hi, z_lo) + bdot(
+        out_ref[oi] = bdot(a_hi, z_hi) + bdot(a_hi, z_lo) + bdot(
             a_lo, z_hi
         )
     else:
-        out_ref[...] = jax.lax.dot_general(
+        out_ref[oi] = jax.lax.dot_general(
             a_ref[...],
             z_ref[:, :D],
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -358,12 +362,12 @@ def _emit_gram_tail(
 
     @pl.when(cont_in_ref[g] > 0)
     def _():
-        out_ref[0:CR, :] += carry_ref[...]
+        out_ref[oi + (pl.ds(0, CR), slice(None))] += carry_ref[...]
 
     @pl.when(cont_out_ref[g] > 0)
     def _():
         off = pl.multiple_of(last_slot_ref[g] * Dpr, 8)
-        carry_ref[...] = out_ref[pl.ds(off, CR), :]
+        carry_ref[...] = out_ref[oi + (pl.ds(off, CR), slice(None))]
 
     if is_last is None:
         is_last = g == pl.num_programs(0) - 1
@@ -577,9 +581,9 @@ def _fused_gram_cross_kernel(
         _emit_gram_tail(
             g, slot, ones, e, Z_o,
             cont_in_ref, cont_out_ref, last_slot_ref,
-            out_ref.at[0, i], carry_out_ref, a_ref, z_ref, carry_ref,
+            out_ref, carry_out_ref, a_ref, z_ref, carry_ref,
             interpret_build=interpret_build, fast_matmul=fast_matmul,
-            out_rows=out_rows,
+            out_rows=out_rows, oi=(0, i),
             is_last=(
                 (gg == pl.num_programs(0) - 1)
                 if i == G - 1
