@@ -56,7 +56,11 @@ from jax import lax
 from ..design_categorical import CategoricalPlan, CategoricalTable
 from .categorical import _pad_zero_row, _row_validity, _table_slice
 from .gibbs import TASK_CLASSIFICATION, TASK_REGRESSION
-from .pallas_gram import fused_tile_gram
+from .pallas_gram import (
+    fused_tile_gram,
+    fused_tile_gram_cross,
+    gram_tiles_per_step,
+)
 from .special import (
     mean_var_truncated_normal_left,
     mean_var_truncated_normal_right,
@@ -86,14 +90,20 @@ jax.tree_util.register_dataclass(
 
 
 def _ext_rows(w, w_var, V, V_var, t2: CategoricalTable, idx):
-    """Gather [w | w_var | V | s | sV] rows ([*, 2+3R]) by entity
-    (pad→0)."""
+    """Gather [w | w_var | V | s | sV | qs] rows ([*, 3+3R]) by entity
+    (pad→0).  qs = Σ_r V̄² is precomputed in the [B]-sized source so
+    Gram/refresh consumers never square-and-reduce gathered rows (same
+    trick as the Gibbs ops/categorical._wv_rows)."""
     w_t = _table_slice(w, t2)
     wv_t = _table_slice(w_var, t2)
     V_t = _table_slice(V, t2)
     s_t = _table_slice(V_var, t2)
     ext = jnp.concatenate(
-        [w_t[:, None], wv_t[:, None], V_t, s_t, s_t * V_t], axis=1
+        [
+            w_t[:, None], wv_t[:, None], V_t, s_t, s_t * V_t,
+            jnp.sum(V_t * V_t, axis=1)[:, None],
+        ],
+        axis=1,
     )
     return _pad_zero_row(ext)[idx]
 
@@ -182,10 +192,9 @@ def _vi_other_gather(w, w_var, V, V_var, t2: CategoricalTable,
     tables (x = 1) a1 = σ and b2 = τ."""
     if eff2 is None:
         ext = _ext_rows(w, w_var, V, V_var, t2, idx)
-        Vg = ext[:, 2 : 2 + rank]
         sg = ext[:, 2 + rank : 2 + 2 * rank]
-        svg = ext[:, 2 + 2 * rank :]
-        return ext, jnp.sum(Vg * Vg, axis=1), sg, svg
+        svg = ext[:, 2 + 2 * rank : 2 + 3 * rank]
+        return ext[:, : 2 + 3 * rank], ext[:, 2 + 3 * rank], sg, svg
     packed = jnp.concatenate(
         [eff2.ext, eff2.qs[:, None], eff2.a1, eff2.b2], axis=1
     )
@@ -235,9 +244,19 @@ def _vi_table_pass(
     max_fin = t.max_fin
     B = t.n_cols
 
-    # own [w | V] rows per (tile, slot) for in-kernel reconstruction
-    wv_own = _pad_zero_row(jnp.concatenate([w_t[:, None], V_t], axis=1))
-    wvsl = wv_own[t.ent_slots]  # [K, S, 1+R]
+    # own [w | V | qs] rows per (tile, slot) for in-kernel
+    # reconstruction (qs = Σ V̄², precomputed like the Gibbs path)
+    wv_own = _pad_zero_row(
+        jnp.concatenate(
+            [
+                w_t[:, None],
+                V_t,
+                jnp.sum(V_t * V_t, axis=1)[:, None],
+            ],
+            axis=1,
+        )
+    )
+    wvsl = wv_own[t.ent_slots]  # [K, S, 2+R]
 
     def pad_k(arr, fill, tile_shape):
         flat = arr.reshape((K,) + tile_shape)
@@ -247,12 +266,11 @@ def _vi_table_pass(
         return flat.reshape((n_chunks, Kc) + tile_shape)
 
     xs = dict(
-        src=pad_k(t.src, plan.n_rows, (T,)),
-        slot=pad_k(t.slot, 0, (T,)),
+        slot_f=pad_k(t.slot_f, float(S), (T,)),
         cont_in=pad_k(t.cont_in, 0, ()),
         cont_out=pad_k(t.cont_out, 0, ()),
         last_slot=pad_k(t.last_slot, 0, ()),
-        wvsl=pad_k(wvsl, 0.0, (S, rank + 1)),
+        wvsl=pad_k(wvsl, 0.0, (S, rank + 2)),
         cross=[
             pad_k(m, t2.n_cols, (T,))
             for t2i, (m, t2) in enumerate(
@@ -272,39 +290,36 @@ def _vi_table_pass(
         for t2i, t2 in enumerate(plan.tables)
         if t2i != ti
     ]
+    W_gth = 3 + 3 * rank  # [w | wvar | V | σ | sv | qs]
 
     def chunk_body(carry, xc):
         gram_carry, G = carry
-        src_c = xc["src"].reshape(Kc * T)
-        ones_c = (src_c < plan.n_rows).astype(dtype)
-        lin_o = jnp.zeros((Kc * T,), dtype)
-        Q_o = jnp.zeros((Kc * T, rank), dtype)
-        qs_o = jnp.zeros((Kc * T,), dtype)
-        sig_o = jnp.zeros((Kc * T, rank), dtype)
-        sv_o = jnp.zeros((Kc * T, rank), dtype)
+        # raw [ext | qs] gather rows feed the cross kernel as-is
+        # (q_lo=2, n_extra=2R: the σ/sv̄ columns ride the z block); the
+        # round-3 layout materialized five [NT, R]-scale accumulators
+        # plus meta/q_ext re-packs between the gathers and the meta
+        # kernel — all dead HBM traffic on this bandwidth-bound device
+        gths = []
         for (t2, eff2), mc in zip(others, xc["cross"]):
-            gth, qs2, _, _ = _vi_other_gather(
-                w, w_var, V, V_var, t2, eff2, mc.reshape(Kc * T), rank
-            )
-            lin_o = lin_o + gth[:, 0]
-            Vg = gth[:, 2 : 2 + rank]
-            Q_o = Q_o + Vg
-            qs_o = qs_o + qs2
-            sig_o = sig_o + gth[:, 2 + rank : 2 + 2 * rank]
-            sv_o = sv_o + gth[:, 2 + 2 * rank :]
-        lin_tau = ones_c * w0 + lin_o - xc["tau"].reshape(Kc * T)
-        meta = jnp.stack([ones_c, lin_tau, qs_o], axis=1).reshape(
-            Kc, T, 3
-        )
-        q_ext = jnp.concatenate([Q_o, sig_o, sv_o], axis=1).reshape(
-            Kc, T, 3 * rank
-        )
-        flat_c, gram_carry = fused_tile_gram(
-            meta, q_ext, xc["slot"], xc["wvsl"],
+            idx = mc.reshape(Kc * T)
+            if eff2 is None:
+                rows = _ext_rows(w, w_var, V, V_var, t2, idx)
+            else:
+                packed = jnp.concatenate(
+                    [eff2.ext, eff2.qs[:, None]], axis=1
+                )
+                rows = _pad_zero_row(packed)[idx]
+            gths.append(rows.reshape(Kc, T, W_gth))
+        aux2 = jnp.stack([xc["slot_f"], xc["tau"]], axis=1)
+        flat_c, gram_carry = fused_tile_gram_cross(
+            aux2, tuple(gths), xc["wvsl"],
             xc["cont_in"], xc["cont_out"], xc["last_slot"], S=S,
             carry_in=gram_carry, interpret=interpret,
             fast_matmul=cfg.gram_fast_matmul or False,
-            out_rows=rows_r,
+            q_lo=2, n_extra=2 * rank, out_rows=rows_r,
+            tiles_per_step=gram_tiles_per_step(
+                T, S, 3 * rank, w_cols=1 + rank, gth_cols=W_gth
+            ),
         )
         vals = flat_c[xc["fin_idx"]][:, :rows_r, :]
         win = xc["fin_win"]
@@ -357,7 +372,7 @@ def _vi_table_pass(
             return lax.dynamic_slice(a, begin, (Bw,) + a.shape[1:])
 
         w_new, wv_new, V_new, s_new = _vi_entity_updates(
-            Gw, win(w_t), win(wv_t), win(V_t), win(s_t), win(g_t),
+            Gw, w0, win(w_t), win(wv_t), win(V_t), win(s_t), win(g_t),
             alpha, lambda_w, mu_w, lambda_V, mu_V, cfg,
         )
         w_new = lax.all_gather(w_new, cfg.axis_name, axis=0, tiled=True)
@@ -373,7 +388,7 @@ def _vi_table_pass(
             # deterministic updates
             G = lax.psum(G, cfg.axis_name)
         w_new, wv_new, V_new, s_new = _vi_entity_updates(
-            G, w_t, wv_t, V_t, s_t, g_t,
+            G, w0, w_t, wv_t, V_t, s_t, g_t,
             alpha, lambda_w, mu_w, lambda_V, mu_V, cfg,
         )
 
@@ -384,19 +399,24 @@ def _vi_table_pass(
     return w, w_var, V, V_var
 
 
-def _vi_entity_updates(G, w_t, wv_t, V_t, s_t, g_t,
+def _vi_entity_updates(G, w0, w_t, wv_t, V_t, s_t, g_t,
                        alpha, lambda_w, mu_w, lambda_V, mu_V,
                        cfg: VariationalConfig):
     """Per-entity CAVI w update + factor scan from Gram statistics.
+
+    The kernel builds G over z = [1 | e⁰ | ...] with e⁰ = e − w0 (same
+    contract as the Gibbs cross kernel); the true-residual statistics
+    follow exactly from z₁ = z₁⁰ + w0·z₀: E1 = E1⁰ + w0·card and
+    Σeφ_r = Σe⁰φ_r + w0·Σφ_r — [B]-sized arithmetic.
 
     Operates on any contiguous entity window (the full table, or one
     device's reduce-scatter shard); all operands are window-sliced.
     Returns (w_new, w_var_new, V_new, V_var_new)."""
     rank = V_t.shape[1]
     card = G[:, 0, 0]
-    E1 = G[:, 0, 1]
     Sphi = G[:, 0, 2 : 2 + rank]  # [B, R]
-    EQphi = G[:, 1, 2 : 2 + rank]
+    E1 = G[:, 0, 1] + w0 * card
+    EQphi = G[:, 1, 2 : 2 + rank] + w0 * Sphi
     Ssig = G[:, 0, 2 + rank : 2 + 2 * rank]
     Stau = G[:, 0, 2 + 2 * rank : 2 + 3 * rank]
 
@@ -948,11 +968,12 @@ def vi_refresh_rows(
         X4SV2 = jnp.zeros((n,), dtype)
         for t2, eff2, idx in zip(plan.tables, eff, ms):
             if eff2 is None:
-                gth = _ext_rows(w, w_var, V, V_var, t2, idx)
+                ext = _ext_rows(w, w_var, V, V_var, t2, idx)
+                gth = ext[:, : 2 + 3 * rank]
                 Vg = gth[:, 2 : 2 + rank]
                 sg = gth[:, 2 + rank : 2 + 2 * rank]
-                svg = gth[:, 2 + 2 * rank :]
-                QS = QS + jnp.sum(Vg * Vg, axis=1)
+                svg = gth[:, 2 + 2 * rank : 2 + 3 * rank]
+                QS = QS + ext[:, 2 + 3 * rank]
                 X4S2 = X4S2 + jnp.sum(sg * sg, axis=1)
                 X4SV2 = X4SV2 + jnp.sum(svg * Vg, axis=1)
             else:

@@ -780,6 +780,7 @@ def _padded_tile_bytes(r: int, c: int, itemsize: int = 4) -> int:
 def fused_gram_vmem_bytes(
     T: int, S: int, q_cols: int, w_cols: Optional[int] = None,
     itemsize: int = 4, n_cross: int = 2, tiles_per_step: int = 1,
+    gth_cols: Optional[int] = None,
 ) -> int:
     """Modeled scoped-VMEM footprint of one fused Gram grid step.
     Every [T, c] operand pads its lane dim to 128 — so the narrow
@@ -811,9 +812,11 @@ def fused_gram_vmem_bytes(
     # per-grid-step in/out blocks (the kernel batches G tiles per step
     # to amortize the measured ~2.7 µs grid-step overhead)
     G = tiles_per_step
+    if gth_cols is None:
+        gth_cols = w_cols + 1  # the Gibbs [w | V | qs] layout
     in_cross = G * (
         tile(2, T, itemsize)
-        + n_cross * tile(T, w_cols + 1, itemsize)
+        + n_cross * tile(T, gth_cols, itemsize)
     )
     double_buffered = (
         max(in_meta, in_cross)
@@ -833,16 +836,16 @@ def fused_gram_vmem_bytes(
 
 def gram_tiles_per_step(
     T: int, S: int, q_cols: int, w_cols: Optional[int] = None,
-    n_cross: int = 2, max_g: int = 8,
+    n_cross: int = 2, max_g: int = 8, gth_cols: Optional[int] = None,
 ) -> int:
     """Largest power-of-two tile batch G whose modeled footprint fits
-    the VMEM budget for the cross kernel at (T, S) — the per-grid-step
-    overhead (~2.7 µs measured on v5e, scripts/microbench_kernel_ts)
-    amortizes G-fold."""
+    the VMEM budget for the cross kernel at (T, S) — fewer grid steps
+    and fewer, larger DMAs for the same bytes."""
     g = max_g
     while g > 1:
         if fused_gram_vmem_bytes(
-            T, S, q_cols, w_cols, n_cross=n_cross, tiles_per_step=g
+            T, S, q_cols, w_cols, n_cross=n_cross, tiles_per_step=g,
+            gth_cols=gth_cols,
         ) <= GRAM_VMEM_BUDGET:
             return g
         g //= 2
