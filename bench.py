@@ -292,12 +292,24 @@ def main():
             sweeps_per_sec, 3
         ),
         # naive speed-of-light: 3 table passes x 2 cross-gathers of
-        # LANE-DENSE [N, 1+R] rows at HBM stream bandwidth.  This bound
-        # ignores TPU tile granularity; the structural bound below is
-        # the engine's real roofline.
+        # LANE-DENSE [N, 1+R] rows at the DATASHEET HBM bandwidth
+        # (819 GB/s).  Kept for cross-round comparability; the
+        # measured-device structural bound below is the real roofline
+        # (this device streams at ~68 GB/s per DMA engine — see
+        # hw_calibration and scripts/microbench_hbm.py).
         "fastpath_sol_fraction": round(
             (6 * n_rows * (rank + 1) * 4 / 8.19e11) * sweeps_per_sec, 3
         ),
+        "hw_calibration": {
+            "stream_bps": HW_STREAM_BPS,
+            "agg_bps": HW_AGG_BPS,
+            "matmul_flops": HW_MATMUL_FLOPS,
+            "note": (
+                "measured 2026-08-20 (scripts/microbench_hbm.py); the "
+                "axon v5e-lite tunnel device delivers ~1/6-1/40 of "
+                "v5e datasheet HBM/MXU rates"
+            ),
+        },
     }
     if _TTFS is not None:
         detail["time_to_first_sweep_s"] = round(_TTFS, 1)
@@ -358,49 +370,61 @@ def main():
     log(f"detail: {json.dumps(detail)}")
 
 
+# ---- measured device calibration (2026-08-20) -----------------------
+# scripts/microbench_hbm.py + microbench_kernel_ts.py +
+# microbench_kernel_sections.py on THIS device (the axon "TPU v5 lite"
+# tunnel).  The v5e datasheet constants the round-3 bound used
+# (819 GB/s HBM, 394 TF bf16) are 6-40x above what this device
+# delivers; the structural bound below therefore uses the MEASURED
+# numbers:
+#   per-DMA-stream bandwidth  ~57-68 GB/s (1-stream sum 68, gather
+#     write 57; 2-stream scale 111, 3-stream add 151 -> streams scale
+#     with engines up to at least 3)
+#   4096^3 matmul             ~5.0 TFLOP/s (f32 == bf16 -> the MXU is
+#     never the Gram kernel's bottleneck here; split == bf16 kernel
+#     wall at every tiling confirms it)
+#   Gram kernel cost curve    ns/row ~= VPU_BASE + 0.55*S + 2700/T per
+#     table pass, FLAT in operand bytes (DMA-only variant ~80% of the
+#     full kernel; removing 512 B/row of aux or halving the gathers to
+#     bf16 moved <1.5 ns/row) -> the kernel is VPU-instruction-bound.
+HW_STREAM_BPS = 6.8e10  # single-stream read bandwidth, measured
+HW_AGG_BPS = 1.51e11  # 3-stream aggregate, measured
+HW_MATMUL_FLOPS = 5.0e12
+
+
 def _fastpath_struct_bound(X, blocks, grouping, rank):
-    """Structural roofline of the fast-path sweep (profile-backed,
-    round-3): per table pass the engine is bound by
+    """Structural roofline of the fast-path sweep, refit round-4 to
+    the MEASURED device calibration (constants above).
 
-    - the Gram kernel's MXU pass count — a dot([T, S*Dp], [T, D])
-      per tile takes ceil(S*Dp/128) * ceil(T/128) * ceil(D/128)
-      128-cycle systolic passes, x3 for the bf16-split f32 matmul —
-      NOT by its FLOPs (the matrices are tile-granularity-dominated);
-    - the two cross-table gathers' 128-lane-PADDED [rows, 1+R] output
-      writes at HBM bandwidth (every [*, c<=128] array on TPU stores
-      128 lanes per row).
+    Per table pass, the unavoidable data motion is the two cross-table
+    gathers: each tile row needs the other tables' [w | V | qs] row,
+    128-lane padded (512 B at f32), written by the XLA gather and read
+    back by the Gram kernel.  With the write and read on separate DMA
+    engines (measured: streams scale with engine count) and perfect
+    overlap with all compute, the floor per table is
 
-    Measured 2026-08-19 on v5e at 10M rows rank 32: 453 ms/sweep vs
-    this bound's ~350 ms (~77%); the naive lane-dense HBM bound (9.7
-    ms) is unreachable on this hardware without packing rows into the
-    lane dimension, which the gather/scatter machinery cannot feed."""
+        NT x max(512 B write, 512 B read) / HW_STREAM_BPS
+
+    per cross-gather pair — i.e. NT x 512/68e9 ~= 7.5 ns/row.  The MXU
+    passes, VPU work, aux/out traffic, and entity draws are all
+    assumed free (they are not: the kernel measures ~10 ns/row of
+    VPU-instruction floor on top).  Round-4 measured: 408 ms/sweep vs
+    this bound's ~240 ms (~0.59); closing further requires either
+    beating the ~68 GB/s per-stream DMA rate (device property) or
+    removing the gather->kernel round trip entirely (in-kernel gathers
+    from VMEM-resident sources do not fit: the user table alone is
+    ~9 MB, and Mosaic has no per-row dynamic HBM gather)."""
     from myfm_tpu.design_categorical import try_compile_categorical
 
     plan = try_compile_categorical(
         X, blocks, np.asarray(grouping, dtype=np.int32), None,
         np.float32, rank=rank,
     )
-    D = rank + 2
-    Dp = -(-D // 8) * 8
-    clock = 0.94e9  # v5e
-    hbm = 8.19e11
-    n_cross = len(plan.tables) - 1
+    lane_bytes = -(-(rank + 2) // 128) * 128 * 4
     total_s = 0.0
     for t in plan.tables:
-        tiles = t.n_tiles
-        T, S = t.tile_rows, t.tile_entities
-        passes = (
-            3  # bf16-split
-            * -(-(S * Dp) // 128)
-            * -(-T // 128)
-            * -(-D // 128)
-        )
-        mxu_s = tiles * passes * 128 / clock
-        rows_padded = tiles * T
-        gather_s = n_cross * rows_padded * (
-            -(-(rank + 1) // 128) * 128 * 4
-        ) / hbm
-        total_s += mxu_s + gather_s
+        rows_padded = t.n_tiles * t.tile_rows
+        total_s += rows_padded * lane_bytes / HW_STREAM_BPS
     return 1.0 / total_s
 
 
@@ -452,11 +476,13 @@ def _bench_joint_100k(n_timed=20):
     # silently bench the lax.scan tail
     it_s = _run_sweeps(tr, plan, tr.y, tr.cfg, n_timed, keys)
 
-    # rough speed-of-light for the sequential color chain: per tail
-    # color one [D², B]·[B, 4Pf] MXU dot at HIGHEST (6-pass bf16) plus
-    # ~12 VMEM passes over the [D², B] Gram for the T Ĝ Tᵀ update
-    # (v5e: ~394 TFLOP/s bf16 MXU, ~3 TB/s VMEM); head colors and the
-    # O(N) Gram build are negligible at this scale
+    # speed-of-light for the sequential color chain, refit round-4 to
+    # the MEASURED device calibration (HW_MATMUL_FLOPS / HW_AGG_BPS —
+    # the round-3 model used v5e datasheet numbers 6-40x above what
+    # this device delivers): per tail color one [D², B]·[B, 4Pf] MXU
+    # dot at HIGHEST (6-pass bf16) plus ~12 memory passes over the
+    # [D², B] Gram for the T Ĝ Tᵀ update; head colors and the O(N)
+    # Gram build are negligible at this scale
     D = 10 + 2
     sol_s = 0.0
     for b in plan.blocks:
@@ -464,8 +490,8 @@ def _bench_joint_100k(n_timed=20):
             continue
         C, B = b.dense_stack.xw.shape
         Pf = b.dense_stack.feat.shape[-1]
-        mxu = 6 * (D * D) * B * (4 * Pf) * 2 / 394e12
-        vmem = 12 * (D * D) * B * 4 / 3e12
+        mxu = 6 * (D * D) * B * (4 * Pf) * 2 / HW_MATMUL_FLOPS
+        vmem = 12 * (D * D) * B * 4 / HW_AGG_BPS
         sol_s += C * (mxu + vmem)
     sol_frac = round(it_s * sol_s, 3) if sol_s else None
     log(f"joint ML-100k timesvdpp rank 10: {it_s:.2f} it/s "

@@ -85,50 +85,34 @@ def _packed_rows(counts: np.ndarray, T: int, S: int) -> int:
     return total
 
 
-# Gram-kernel cost model for choose_tiling — fit to five per-table
-# anchors from the round-3 v5e 10M profiles (each within ~15%, one
-# within 30%):
+# Gram-kernel cost model for choose_tiling — refit round-4 against
+# the MEASURED per-(T, S) kernel cost curve on this device
+# (scripts/microbench_kernel_ts.py, 2026-08-20).  The kernel is
+# VPU-INSTRUCTION-bound, not MXU- or byte-bound: split == bf16 wall at
+# every tiling, a DMA-only variant runs ~80% of the full kernel, and
+# removing 512 B/row of operand traffic moved < 1.5 ns/row.  The
+# measured structure is
 #
-#   ns/row = matmul cycles/tile / clock / T               (the matmul)
-#          + DMA bytes/row / HBM bandwidth                (operands)
-#          + VPU slope · S                                (A build)
-#          + overhead / T                                 (grid step)
+#   ns/row ≈ lt · (BASE + S_SLOPE · S)   (per-instruction VPU floor,
+#                                         lt = lane tiles of D)
+#          + OVERHEAD / T                (per-block instruction-issue
+#                                         cost, amortized by T; NOT a
+#                                         grid-step cost — batching G
+#                                         tiles per step left it
+#                                         unchanged)
 #
-# The dot([T, S·Dp], [T, D]) streams its OUTPUT-row dim M = S·Dp
-# through the systolic array: cycles ≈ n_mm · ceil(T/128) · ceil(D/128)
-# · max(S·Dp, 128) — a 128-cycle pipeline floor per pass, but M above
-# 128 costs LINEARLY (not in ceil-128 tiles; measured: the user table
-# at S·Dp = 160 ran 4.0 ns/row of matmul vs the pass model's 6.4).
-# n_mm = matmul passes over the data: 3 for the bf16-split f32 mode,
-# 1 for the single-pass bf16 mode the trainers resolve at rank >= 64
-# (_resolve_gram_fast_matmul).  Operand DMA: every [T, c ≤ 128] block
-# stores 128 lanes/row, so aux + the n_cross gathered cross tables
-# cost (1 + n_cross) · ceil((1+R)/128) · 512 B/row at f32.
-_GRAM_CLOCK_HZ = 0.94e9  # v5e
-_GRAM_HBM_BPS = 8.19e11
-_GRAM_VPU_S_SLOPE_NS = 0.45
-_GRAM_TILE_OVERHEAD_NS = 450.0
+# Anchors (split, R = 32, 2 cross): (256,1) 16.6, (256,4) 23.0,
+# (512,2) 17.6, (1024,1) 14.4, (1024,4) 16.8, (2048,2) 15.4 ns/row.
+_GRAM_VPU_BASE_NS = 10.0
+_GRAM_VPU_S_SLOPE_NS = 0.55
+_GRAM_TILE_OVERHEAD_NS = 2200.0
 
 
 def _gram_ns_per_row(T: int, S: int, rank: int,
                      n_cross: int = 2) -> float:
-    D = rank + 2
-    Dp = -(-D // 8) * 8
-    n_mm = 1 if rank >= 64 else 3  # mirrors the matmul-mode resolver
-    cycles = (
-        n_mm * -(-T // 128) * -(-D // 128) * max(S * Dp, 128)
-    )
-    mxu = cycles / _GRAM_CLOCK_HZ / T * 1e9
-    lane_bytes = 4 * 128  # one padded lane tile per row per operand
-    dma = (
-        (1 + n_cross)
-        * -(-(rank + 1) // 128) * lane_bytes
-        / _GRAM_HBM_BPS * 1e9
-    )
+    lt = -(-(rank + 2) // 128)  # lane tiles of the z/Gram width
     return (
-        mxu
-        + dma
-        + _GRAM_VPU_S_SLOPE_NS * S
+        lt * (_GRAM_VPU_BASE_NS + _GRAM_VPU_S_SLOPE_NS * S)
         + _GRAM_TILE_OVERHEAD_NS / T
     )
 

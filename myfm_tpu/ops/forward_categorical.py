@@ -250,6 +250,19 @@ def _chunk_scores(plan, sources, w0s, idxs, n_samples, rank):
 _ROW_CHUNK = 1 << 19
 
 
+def serving_row_chunk(
+    n_samples: int, rank: int, budget_elems: int = 1 << 25
+) -> int:
+    """Row-chunk size bounding the scoring pass's working set: the
+    accQ accumulator and the per-table gather outputs are
+    [row_chunk, S*R]-shaped, so row_chunk must shrink as S*R grows
+    (a Predictor with 295 kept samples at the default 2^19 chunk
+    compiled a 30 GB program — observed 2026-08-20)."""
+    per_row = max(n_samples * max(rank, 1), 1)
+    rc = max(budget_elems // per_row, 512)
+    return min(_ROW_CHUNK, 1 << (rc.bit_length() - 1))
+
+
 def scores_samples_reduce(
     plan: InferencePlan,
     w0s: jax.Array,  # [S]
@@ -315,15 +328,18 @@ def _std_cdf(x):
 
 def serving_roofline_rows_per_sec(
     plan: InferencePlan, n_samples: int, rank: int,
-    hbm_bps: float = 8.19e11,
+    hbm_bps: float = 1.51e11,
 ) -> float:
     """HBM-bound serving roofline (rows x samples / sec) of the stacked
-    scoring pass on one v5e chip: per table per row, the gather writes
-    one [S*R]-lane row (padded to 128) and one [2S]-lane row (padded),
-    plus the accQ read-modify-write for tables after the first and the
-    final score/output traffic.  Gather SOURCE reads are tiny (per-
-    entity tables); random-access inefficiency is not modeled — this is
-    the structural ceiling, not a promise."""
+    scoring pass: per table per row, the gather writes one [S*R]-lane
+    row (padded to 128) and one [2S]-lane row (padded), plus the accQ
+    read-modify-write for tables after the first and the final
+    score/output traffic.  Gather SOURCE reads are tiny (per-entity
+    tables); random-access inefficiency is not modeled — this is the
+    structural ceiling, not a promise.  Default bandwidth is the
+    MEASURED aggregate streaming rate of this device (~151 GB/s,
+    scripts/microbench_hbm.py 2026-08-20 — the v5e datasheet 819 GB/s
+    is ~5.4x above what the axon tunnel device delivers)."""
     lane = 128
     S, R = n_samples, rank
     per_row = 0.0

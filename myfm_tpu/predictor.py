@@ -24,6 +24,7 @@ from .ops.forward import predict_score
 from .ops.forward_categorical import (
     compile_categorical_inference,
     scores_samples_reduce,
+    serving_row_chunk,
 )
 from .relational import RelationBlock
 
@@ -127,7 +128,12 @@ class Predictor:
             total = np.zeros(fast.n_rows, dtype=np.float64)
             for part, w0s, ws, vs in self._sample_chunks():
                 total += np.asarray(
-                    _scores_reduce_jit(fast, w0s, ws, vs, mode=mode),
+                    _scores_reduce_jit(
+                        fast, w0s, ws, vs, mode=mode,
+                        row_chunk=serving_row_chunk(
+                            len(part), self.rank
+                        ),
+                    ),
                     dtype=np.float64,
                 )
             return total / len(self.samples)
@@ -180,6 +186,9 @@ class Predictor:
                     _scores_reduce_jit(
                         fast, w0s, ws, vs, mode="oprobit_sum",
                         cutpoints=cps,
+                        row_chunk=serving_row_chunk(
+                            len(part), self.rank
+                        ),
                     ),
                     dtype=np.float64,
                 )

@@ -178,6 +178,45 @@ def test_predictor_oprobit_probs():
     assert np.allclose(got.sum(axis=1), 1.0)
 
 
+def test_serving_row_chunk_bounds_working_set():
+    """The scoring working set is [row_chunk, S*R]; with many kept
+    samples the chunk must shrink (a 295-sample predict at the fixed
+    2^19 chunk compiled a 30 GB program — 2026-08-20 regression)."""
+    from myfm_tpu.ops.forward_categorical import (
+        _ROW_CHUNK,
+        serving_row_chunk,
+    )
+
+    assert serving_row_chunk(8, 32) <= _ROW_CHUNK
+    rc = serving_row_chunk(295, 10)
+    assert rc * 295 * 10 <= (1 << 25)
+    assert rc >= 512
+    # monotone non-increasing in S*R
+    prev = 1 << 30
+    for s in (1, 8, 64, 295, 1000):
+        cur = serving_row_chunk(s, 16)
+        assert cur <= prev
+        prev = cur
+
+
+def test_predict_many_samples_matches_oracle():
+    """End-to-end predict with a large kept-sample count exercises the
+    adaptive row chunk through the real Predictor path."""
+    rng = np.random.RandomState(8)
+    X, blocks = _categorical_design(rng, n=300)
+    plan = compile_categorical_inference(X, blocks, np.float64)
+    F = plan.n_features
+    pred = Predictor(rank=2, n_features=F, task="regression",
+                     dtype=np.float64)
+    samples = _samples(rng, F, 2, 40)
+    for s in samples:
+        pred.samples.append(FM(s.w0, s.w, s.V, []))
+    got = pred.predict(X, blocks)
+    Xd = expand_blocks(X, blocks)
+    want = np.mean([fm_oracle_score(Xd, s) for s in samples], axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
 def test_serving_roofline_positive():
     rng = np.random.RandomState(5)
     X, blocks = _categorical_design(rng)
