@@ -36,6 +36,17 @@ REFERENCE_PROJECTED_SWEEPS_PER_SEC = 0.0625
 _TTFS = None  # time-to-first-sweep, set by _measure_headline
 
 
+def _count_cache_entries():
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+    try:
+        return len(os.listdir(cache_dir))
+    except OSError:
+        return 0
+
+
+_CACHE_ENTRIES_AT_START = _count_cache_entries()
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -306,13 +317,22 @@ def main():
             "matmul_flops": HW_MATMUL_FLOPS,
             "note": (
                 "measured 2026-08-20 (scripts/microbench_hbm.py); the "
-                "axon v5e-lite tunnel device delivers ~1/6-1/40 of "
+                "axon v5e-lite tunnel device delivers ~1/5-1/12 of "
                 "v5e datasheet HBM/MXU rates"
             ),
         },
     }
     if _TTFS is not None:
         detail["time_to_first_sweep_s"] = round(_TTFS, 1)
+        # ADVICE r3: annotate whether the persistent XLA compile cache
+        # was warm — a cold-cache TTFS measures the tunnel's compile
+        # storm, not the steady user experience
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "")
+        detail["ttfs_compile_cache"] = (
+            "warm"
+            if _CACHE_ENTRIES_AT_START > 0
+            else "cold"
+        ) + f" ({_CACHE_ENTRIES_AT_START} entries at start)"
     try:
         bound = _fastpath_struct_bound(X, blocks, grouping, rank)
         detail["fastpath_struct_bound_sweeps_per_sec"] = round(bound, 3)
@@ -380,16 +400,18 @@ def main():
 #   per-DMA-stream bandwidth  ~57-68 GB/s (1-stream sum 68, gather
 #     write 57; 2-stream scale 111, 3-stream add 151 -> streams scale
 #     with engines up to at least 3)
-#   4096^3 matmul             ~5.0 TFLOP/s (f32 == bf16 -> the MXU is
-#     never the Gram kernel's bottleneck here; split == bf16 kernel
-#     wall at every tiling confirms it)
+#   4096^3 matmul             ~42 TFLOP/s at default (bf16-pass)
+#     precision once chained x10 inside one jit (a single dispatch
+#     measures ~5 TF: ~20 ms of tunnel round-trip); the MXU is still
+#     never the Gram kernel's bottleneck (split == bf16 kernel wall at
+#     every tiling)
 #   Gram kernel cost curve    ns/row ~= VPU_BASE + 0.55*S + 2700/T per
 #     table pass, FLAT in operand bytes (DMA-only variant ~80% of the
 #     full kernel; removing 512 B/row of aux or halving the gathers to
 #     bf16 moved <1.5 ns/row) -> the kernel is VPU-instruction-bound.
 HW_STREAM_BPS = 6.8e10  # single-stream read bandwidth, measured
 HW_AGG_BPS = 1.51e11  # 3-stream aggregate, measured
-HW_MATMUL_FLOPS = 5.0e12
+HW_MATMUL_FLOPS = 4.2e13  # bf16-pass rate, chained measurement
 
 
 def _fastpath_struct_bound(X, blocks, grouping, rank):
@@ -669,12 +691,14 @@ def _bench_vi_100k(rank=10, n_timed=10):
         assert vfm.history_.engine == "fastpath", vfm.history_.engine
         return time.time() - t0
 
-    t_warm = fit(2)  # compile + 2 iters (plan/jit caches stay warm)
-    t_long = fit(2 + n_timed)
-    it_s = n_timed / max(t_long - t_warm, 1e-9)
+    fit(2)  # compile (cold plan/jit caches)
+    t_short = fit(2)  # warm baseline: plan build + 2 iters
+    t_long = fit(2 + n_timed)  # warm: plan build + (2 + n) iters
+    it_s = n_timed / max(t_long - t_short, 1e-3)
     log(f"VI EA fast path ML-100k timesvdpp rank {rank}: "
         f"{it_s:.2f} it/s through fit() "
-        f"(round-2 staged colored: ~0.01 it/s)")
+        f"(warm fits {t_short:.1f}s / {t_long:.1f}s; "
+        f"round-2 staged colored: ~0.01 it/s)")
     return round(it_s, 2)
 
 

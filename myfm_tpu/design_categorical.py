@@ -85,34 +85,47 @@ def _packed_rows(counts: np.ndarray, T: int, S: int) -> int:
     return total
 
 
-# Gram-kernel cost model for choose_tiling — refit round-4 against
-# the MEASURED per-(T, S) kernel cost curve on this device
-# (scripts/microbench_kernel_ts.py, 2026-08-20).  The kernel is
-# VPU-INSTRUCTION-bound, not MXU- or byte-bound: split == bf16 wall at
-# every tiling, a DMA-only variant runs ~80% of the full kernel, and
-# removing 512 B/row of operand traffic moved < 1.5 ns/row.  The
-# measured structure is
+# Gram-kernel cost model for choose_tiling.
 #
-#   ns/row ≈ lt · (BASE + S_SLOPE · S)   (per-instruction VPU floor,
-#                                         lt = lane tiles of D)
-#          + OVERHEAD / T                (per-block instruction-issue
-#                                         cost, amortized by T; NOT a
-#                                         grid-step cost — batching G
-#                                         tiles per step left it
-#                                         unchanged)
-#
-# Anchors (split, R = 32, 2 cross): (256,1) 16.6, (256,4) 23.0,
-# (512,2) 17.6, (1024,1) 14.4, (1024,4) 16.8, (2048,2) 15.4 ns/row.
-_GRAM_VPU_BASE_NS = 10.0
-_GRAM_VPU_S_SLOPE_NS = 0.55
-_GRAM_TILE_OVERHEAD_NS = 2200.0
+# Round-4 post-mortem: the terms below are MISLABELED mechanically —
+# hardware bisection (scripts/microbench_kernel_ts.py /
+# microbench_kernel_sections.py, 2026-08-20) shows the kernel is
+# VPU-instruction-bound (split == bf16 wall everywhere, DMA-only
+# variant ~80% of full), not MXU/DMA-bound as the names suggest.  A
+# kernel-only refit (ns/row = 10 + 0.55·S + 2200/T, fit to the
+# synthetic cost curve) was tried and REVERTED: it shifted the ML-10M
+# tilings to (512,8)/(1024,4) which the synthetic curve ranks faster
+# but the REAL sweep measures 543 ms vs this model's choices' 408 ms —
+# the full pipeline's S-dependence (finalize windows, chunk count,
+# draw slicing) is steeper than the bare kernel's.  This model's
+# (S·Dp)-linear term empirically tracks the end-to-end S cost, so it
+# stays as the ranking function; treat its absolute ns as fiction and
+# its ORDER as the measured contract (guarded by the headline bench).
+_GRAM_CLOCK_HZ = 0.94e9
+_GRAM_HBM_BPS = 8.19e11
+_GRAM_VPU_S_SLOPE_NS = 0.45
+_GRAM_TILE_OVERHEAD_NS = 450.0
 
 
 def _gram_ns_per_row(T: int, S: int, rank: int,
                      n_cross: int = 2) -> float:
-    lt = -(-(rank + 2) // 128)  # lane tiles of the z/Gram width
+    D = rank + 2
+    Dp = -(-D // 8) * 8
+    n_mm = 1 if rank >= 64 else 3  # mirrors the matmul-mode resolver
+    cycles = (
+        n_mm * -(-T // 128) * -(-D // 128) * max(S * Dp, 128)
+    )
+    mxu = cycles / _GRAM_CLOCK_HZ / T * 1e9
+    lane_bytes = 4 * 128
+    dma = (
+        (1 + n_cross)
+        * -(-(rank + 1) // 128) * lane_bytes
+        / _GRAM_HBM_BPS * 1e9
+    )
     return (
-        lt * (_GRAM_VPU_BASE_NS + _GRAM_VPU_S_SLOPE_NS * S)
+        mxu
+        + dma
+        + _GRAM_VPU_S_SLOPE_NS * S
         + _GRAM_TILE_OVERHEAD_NS / T
     )
 
@@ -179,8 +192,17 @@ def choose_tiling_probed(counts: np.ndarray, T: int, S: int,
         gram_probe_ok,
     )
 
+    from .ops.pallas_gram import gram_tiles_per_step
+
     for Tc, Sc, infl in rank_tilings(counts, T, S, rank):
-        if fused_gram_vmem_bytes(Tc, Sc, rank) <= GRAM_PROBE_THRESHOLD:
+        # the skip-probe threshold must be evaluated at the G the
+        # runtime will actually use: a rank-128 (1024, 1) config sat
+        # under the threshold at G=1 but OOM'd scoped VMEM at its
+        # runtime G=2 (BENCH round-4)
+        g_rt = gram_tiles_per_step(Tc, Sc, rank)
+        if fused_gram_vmem_bytes(
+            Tc, Sc, rank, tiles_per_step=g_rt
+        ) <= GRAM_PROBE_THRESHOLD:
             return Tc, Sc, infl
         if gram_probe_ok(Tc, Sc, rank):
             return Tc, Sc, infl

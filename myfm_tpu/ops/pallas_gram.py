@@ -834,19 +834,28 @@ def fused_gram_vmem_bytes(
     return 2 * double_buffered + scratch
 
 
+# G selection uses a TIGHTER budget than the tiling gate: measured on
+# hardware (BENCH round-4), a rank-128 (T=1024, S=1, G=2) config the
+# model put at 12.6 MB compiled to 16.27 MB of scoped VMEM — the model
+# runs ~3.7 MB optimistic for wide-D multi-tile blocks.  10 MB keeps
+# ~6 MB of real headroom; G only amortizes DMA issue, so losing a
+# factor of G near the cliff costs little.
+GRAM_G_BUDGET = 10 << 20
+
+
 def gram_tiles_per_step(
     T: int, S: int, q_cols: int, w_cols: Optional[int] = None,
     n_cross: int = 2, max_g: int = 8, gth_cols: Optional[int] = None,
 ) -> int:
     """Largest power-of-two tile batch G whose modeled footprint fits
-    the VMEM budget for the cross kernel at (T, S) — fewer grid steps
-    and fewer, larger DMAs for the same bytes."""
+    the (conservative) G budget for the cross kernel at (T, S) —
+    fewer grid steps and fewer, larger DMAs for the same bytes."""
     g = max_g
     while g > 1:
         if fused_gram_vmem_bytes(
             T, S, q_cols, w_cols, n_cross=n_cross, tiles_per_step=g,
             gth_cols=gth_cols,
-        ) <= GRAM_VMEM_BUDGET:
+        ) <= GRAM_G_BUDGET:
             return g
         g //= 2
     return 1

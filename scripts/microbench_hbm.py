@@ -69,20 +69,30 @@ def main():
           f"{dt*1e3:7.1f} ms -> {nbytes/dt/1e9:6.1f} GB/s write",
           flush=True)
 
-    # big matmul for MXU calibration
+    # big matmul for MXU calibration — CHAINED x10 inside one jit so
+    # the ~20 ms tunnel dispatch round-trip amortizes (a single-call
+    # measurement reported ~5 TFLOP/s for f32 AND bf16, i.e. mostly
+    # dispatch)
     M = 4096
-    x = jnp.asarray(rng.normal(size=(M, M)).astype(np.float32))
-    mm_j = jax.jit(lambda x: x @ x)
-    dt = timed(mm_j, x)
     flops = 2 * M**3
-    print(f"matmul {M}^3 f32: {dt*1e3:7.1f} ms -> "
+    x = jnp.asarray(
+        (rng.normal(size=(M, M)) / np.sqrt(M)).astype(np.float32)
+    )
+
+    def chain10(x):
+        for _ in range(10):
+            x = jax.lax.dot(x, x, preferred_element_type=x.dtype)
+            x = x * (1.0 / jnp.maximum(jnp.max(jnp.abs(x)), 1e-6))
+        return x
+
+    mm_j = jax.jit(chain10)
+    dt = timed(mm_j, x) / 10
+    print(f"matmul {M}^3 f32 x10 chained: {dt*1e3:7.1f} ms/mm -> "
           f"{flops/dt/1e12:6.1f} TFLOP/s", flush=True)
 
     xb = x.astype(jnp.bfloat16)
-    mmb_j = jax.jit(lambda x: jax.lax.dot(x, x,
-                    preferred_element_type=jnp.float32))
-    dt = timed(mmb_j, xb)
-    print(f"matmul {M}^3 bf16: {dt*1e3:7.1f} ms -> "
+    dt = timed(jax.jit(chain10), xb) / 10
+    print(f"matmul {M}^3 bf16 x10 chained: {dt*1e3:7.1f} ms/mm -> "
           f"{flops/dt/1e12:6.1f} TFLOP/s", flush=True)
 
 
