@@ -192,17 +192,16 @@ def choose_tiling_probed(counts: np.ndarray, T: int, S: int,
         gram_probe_ok,
     )
 
-    from .ops.pallas_gram import gram_tiles_per_step
-
     for Tc, Sc, infl in rank_tilings(counts, T, S, rank):
-        # the skip-probe threshold must be evaluated at the G the
-        # runtime will actually use: a rank-128 (1024, 1) config sat
-        # under the threshold at G=1 but OOM'd scoped VMEM at its
-        # runtime G=2 (BENCH round-4)
-        g_rt = gram_tiles_per_step(Tc, Sc, rank)
-        if fused_gram_vmem_bytes(
-            Tc, Sc, rank, tiles_per_step=g_rt
-        ) <= GRAM_PROBE_THRESHOLD:
+        # the threshold is evaluated at G=1: the BASE tiling's VMEM
+        # cliff is what the probe guards.  The runtime G>1 batching is
+        # budgeted separately and conservatively (GRAM_G_BUDGET keeps
+        # ~6 MB of headroom vs the ~3.7 MB worst observed model error,
+        # after a rank-128 G=2 config OOM'd in BENCH round-4) — probing
+        # every G-inflated config would add 1-2 cold remote compiles
+        # (~20-40 s each; the axon backend never reuses the client-side
+        # XLA cache) to every first fit.
+        if fused_gram_vmem_bytes(Tc, Sc, rank) <= GRAM_PROBE_THRESHOLD:
             return Tc, Sc, infl
         if gram_probe_ok(Tc, Sc, rank):
             return Tc, Sc, infl
