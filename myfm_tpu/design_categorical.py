@@ -684,63 +684,24 @@ def compile_categorical_table(
     )
 
     # Host->device transfers ride a ~3.5 MB/s tunnel in this
-    # environment, so the upload bytes ARE the design-compile wall time
-    # at 10M rows.  The [NT]-sized layout arrays are therefore DERIVED
-    # ON DEVICE from the already-needed ent_main (narrow dtype) plus a
-    # tiny per-tile fill vector, instead of being uploaded:
-    #   order = stable argsort of (ent, masked -> B) — identical to the
-    #           packer's nonzero(real)[argsort(ent[real])] because
-    #           stable sort preserves index order within equal keys;
-    #   src   = order[running count of real tile rows], pad rows -> n
-    #           (pads sit at each tile's tail: row i of tile k is real
-    #           iff i < fill[k]);
-    #   slot  = per-tile running count of entity boundaries among real
-    #           rows (rows are entity-sorted within a tile);
-    #   ent_of_tile_row / slot_f follow from src as before.
-    # This replaced ~52 MB of int32/int8 upload per 10M-row table with
-    # ~80 KB (fills) — measured ~40 s of the 95.8 s time-to-first-sweep
-    # was index-array upload (BENCH round-4).
-    n = ent.shape[0]
-    K_tiles = src.shape[0] // T
-    fills = (
-        (np.asarray(src).reshape(K_tiles, T) < n_rows)
-        .sum(axis=1)
-        .astype(np.int32)
-    )
+    # environment, so the upload bytes dominate the design-compile wall
+    # at 10M rows.  Narrow dtypes go over the wire and widen on device;
+    # ent_of_tile_row / slot_f are derived on device (cheap gathers of
+    # already-present arrays).  NOTE (round-4): deriving src/slot fully
+    # on device (argsort + cumsum from ent_main) was tried and
+    # REVERTED — the derivation's eager ops each cost a fresh remote
+    # compile on this backend (which never reuses the client XLA
+    # cache), measuring ~50 s where the upload they replaced cost ~30 s
+    # (design compile 39.9 s -> 88.8 s at 10M).  On a directly-attached
+    # chip with a working compile cache the derivation wins; revisit
+    # if the environment changes.
+    src_dev = jnp.asarray(src)
     ent_main_dev = _upload_ids(ent.astype(np.int64), n_entities)
-    fills_dev = jnp.asarray(fills)
-
-    valid = ent_main_dev < n_entities  # SPMD row padding mask
-    key = jnp.where(valid, ent_main_dev.astype(jnp.int32), n_entities)
-    order = jnp.argsort(key, stable=True).astype(jnp.int32)  # [n]
-    mask_tile = (
-        jax.lax.broadcasted_iota(jnp.int32, (K_tiles, T), 1)
-        < fills_dev[:, None]
-    )
-    mask_flat = mask_tile.reshape(K_tiles * T)
-    pos = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
-    src_dev = jnp.where(
-        mask_flat,
-        order[jnp.clip(pos, 0, max(n - 1, 0))],
-        n,
-    ).astype(jnp.int32)
     ent_pad_dev = jnp.concatenate(
         [ent_main_dev, jnp.asarray([n_entities], jnp.int32)]
     )
     ent_tile_dev = ent_pad_dev[jnp.minimum(src_dev, n_rows)]
-    et = ent_tile_dev.reshape(K_tiles, T)
-    new_ent = jnp.concatenate(
-        [
-            jnp.zeros((K_tiles, 1), jnp.int32),
-            (et[:, 1:] != et[:, :-1]).astype(jnp.int32),
-        ],
-        axis=1,
-    )
-    slot_dev = jnp.where(
-        mask_tile,
-        jnp.cumsum(new_ent * mask_tile.astype(jnp.int32), axis=1),
-        0,
-    ).reshape(K_tiles * T)
+    slot_dev = _upload_ids(np.asarray(slot, np.int64), S)
     slot_f_dev = jnp.where(src_dev < n_rows, slot_dev, S).astype(dtype)
     return CategoricalTable(
         src=src_dev,

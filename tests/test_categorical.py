@@ -623,42 +623,3 @@ def test_gram_bf16_mode_error_bound_and_recovery():
     yhat /= len(pred.samples)
     rmse = float(np.sqrt(np.mean((yhat - y) ** 2)))
     assert rmse < 0.45  # noise floor 0.3; colored/f32 runs land ~0.33
-
-
-def test_device_derived_src_slot_match_packer():
-    """The [NT]-sized src/slot layout arrays are derived ON DEVICE
-    from ent_main + per-tile fills (saving ~52 MB of upload per
-    10M-row table through the slow tunnel); they must equal the host
-    packer's output exactly, including SPMD-masked rows (ent == B) and
-    pad tails."""
-    from myfm_tpu.design_categorical import (
-        _pack_tiles,
-        compile_categorical_table,
-        pack_tiles_native,
-    )
-
-    rng = np.random.RandomState(7)
-    for trial in range(4):
-        n = rng.randint(50, 800)
-        B = rng.randint(3, 40)
-        # odd trials include masked rows (ent == B, the SPMD pad id)
-        ent = rng.randint(0, B + (trial % 2), n)
-        real = ent < B
-        order = np.argsort(ent[real], kind="stable")
-        order = np.nonzero(real)[0][order]
-        counts = np.bincount(ent[real], minlength=B)
-        T, S = (32, 4) if trial < 2 else (16, 2)
-        tab = compile_categorical_table(
-            ent, B, 0, n, np.float64, T=T, S=S, rank=3,
-            fixed_ts=(T, S),
-        )
-        if pack_tiles_native is not None:
-            src, slot, *_ = pack_tiles_native(order, counts, n, T, S)
-        else:
-            src, slot, *_ = _pack_tiles(ent[order], order, B, T, S)
-        np.testing.assert_array_equal(
-            np.asarray(tab.src), np.asarray(src)
-        )
-        np.testing.assert_array_equal(
-            np.asarray(tab.slot), np.asarray(slot)
-        )
