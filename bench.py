@@ -34,6 +34,7 @@ import scipy.sparse as sps
 
 REFERENCE_PROJECTED_SWEEPS_PER_SEC = 0.0625
 _TTFS = None  # time-to-first-sweep, set by _measure_headline
+_TTFS_PARTS = {}  # phase breakdown (design/init/sweep-compile)
 
 
 def _count_cache_entries():
@@ -166,6 +167,10 @@ def _measure_headline(X, blocks, y, grouping, rank, n_timed,
         np.float32, rank=rank, fixed_ts=fixed_ts,
     )
     assert plan is not None, "flagship workload must hit the fast path"
+    # include the upload/derivation drain in the design phase: the
+    # plan's device arrays must be materialized before the sweep
+    jax.block_until_ready(jax.tree_util.tree_leaves(plan))
+    _TTFS_PARTS["ttfs_design_s"] = round(time.time() - t_fit0, 1)
     log(
         f"design compiled in {time.time()-t_fit0:.1f}s "
         f"(F={plan.n_features}, tables="
@@ -185,6 +190,7 @@ def _measure_headline(X, blocks, y, grouping, rank, n_timed,
     t0 = time.time()
     state = trainer._initialize(jax.random.fold_in(master, 0))
     _ = float(jnp.sum(state.core.e))
+    _TTFS_PARTS["ttfs_init_s"] = round(time.time() - t0, 1)
     log(f"init in {time.time()-t0:.1f}s")
     # warmup (compile)
     t0 = time.time()
@@ -193,6 +199,7 @@ def _measure_headline(X, blocks, y, grouping, rank, n_timed,
         jax.random.fold_in(master, 1), cfg, trainer._interpret,
     )
     _ = float(jnp.sum(state.core.e))
+    _TTFS_PARTS["ttfs_sweep_compile_s"] = round(time.time() - t0, 1)
     log(f"first sweep (compile) in {time.time()-t0:.1f}s")
     # time-to-first-sweep (design compile + upload + init + sweep
     # compile; VERDICT r2 item 7 target < 60 s warm at 10M)
@@ -274,25 +281,10 @@ def main():
             )
             return
 
-    extra = {"note": headline_note} if headline_note else {}
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"Gibbs sweeps/sec, synthetic ML-10M "
-                    f"({n_rows} rows, rank {rank}, user/item "
-                    f"RelationBlocks + date one-hot)"
-                ),
-                "value": round(sweeps_per_sec, 3),
-                "unit": "sweeps/sec",
-                "vs_baseline": round(
-                    sweeps_per_sec / REFERENCE_PROJECTED_SWEEPS_PER_SEC, 1
-                ),
-                **extra,
-            }
-        ),
-        flush=True,
-    )
+    # NOTE: the headline JSON line is printed at the very END of main()
+    # (round-4 post-mortem: printing it mid-run let the secondary
+    # benches' output scroll it out of the driver-captured tail —
+    # BENCH_r04 parsed: null).
 
     # ---- secondary engine benches (stderr + BENCH_DETAIL.json) ------
     # regressions in the joint / VI / colored paths would otherwise be
@@ -324,6 +316,10 @@ def main():
     }
     if _TTFS is not None:
         detail["time_to_first_sweep_s"] = round(_TTFS, 1)
+        # phase breakdown: design (host plan + uploads + on-device
+        # src/slot derivation), state init, first-sweep compile — the
+        # design term is the controllable one (VERDICT r4 weak 3)
+        detail.update(_TTFS_PARTS)
         # ADVICE r3: annotate whether the persistent XLA compile cache
         # was warm — a cold-cache TTFS measures the tunnel's compile
         # storm, not the steady user experience
@@ -336,27 +332,48 @@ def main():
     try:
         bound = _fastpath_struct_bound(X, blocks, grouping, rank)
         detail["fastpath_struct_bound_sweeps_per_sec"] = round(bound, 3)
-        detail["fastpath_struct_fraction"] = round(
-            sweeps_per_sec / bound, 3
+        _put_fraction(
+            detail, "fastpath_struct_fraction", sweeps_per_sec / bound
+        )
+        bound2 = _fastpath_struct_bound(
+            X, blocks, grouping, rank, two_term=True
+        )
+        detail["fastpath_2term_bound_sweeps_per_sec"] = round(bound2, 3)
+        _put_fraction(
+            detail, "fastpath_2term_fraction", sweeps_per_sec / bound2
         )
     except Exception as exc:  # pragma: no cover
         log(f"struct bound failed: {exc!r}")
     try:
         it_s, sol = _bench_joint_100k()
         detail["joint_100k_timesvdpp_rank10"] = it_s
-        detail["joint_sol_fraction"] = sol
+        if sol is not None:
+            _put_fraction(detail, "joint_sol_fraction", sol)
     except Exception as exc:  # pragma: no cover
         log(f"joint bench failed: {exc!r}")
+    try:
+        # like-for-like vs the reference's 20-22 it/s: steady it/s
+        # THROUGH MyFMRegressor.fit() with the default tqdm callback
+        # (relation-blocks.rst:199; round-4 VERDICT item 1)
+        detail["fit_100k_timesvdpp_rank10_through_fit"] = (
+            _bench_fit_100k()
+        )
+    except Exception as exc:  # pragma: no cover
+        log(f"through-fit bench failed: {exc!r}")
     try:
         rows_s, sol = _bench_predict(X, blocks, rank, state)
         detail["predict_10m_rank32_rows_per_sec"] = rows_s
         if sol is not None:
-            detail["predict_roofline_fraction"] = sol
+            _put_fraction(detail, "predict_roofline_fraction", sol)
     except Exception as exc:  # pragma: no cover
         log(f"predict bench failed: {exc!r}")
     try:
-        detail["vi_fastpath_10m_rank32"] = _bench_vi(
-            X, blocks, y, grouping, rank
+        vi_sps = _bench_vi(X, blocks, y, grouping, rank)
+        detail["vi_fastpath_10m_rank32"] = vi_sps
+        bound_vi = _vi_struct_bound(X, blocks, grouping, rank)
+        detail["vi_struct_bound_sweeps_per_sec"] = round(bound_vi, 3)
+        _put_fraction(
+            detail, "vi_struct_fraction", vi_sps / bound_vi
         )
     except Exception as exc:  # pragma: no cover
         log(f"VI bench failed: {exc!r}")
@@ -372,22 +389,71 @@ def main():
     except Exception as exc:  # pragma: no cover
         log(f"oprobit bench failed: {exc!r}")
     try:
-        # VI on the same multi-hot design (entity+attribute fast path;
-        # VERDICT r2 item 6 target: within 5x of the Gibbs joint sweep)
-        detail["vi_100k_timesvdpp_rank10"] = _bench_vi_100k()
+        # VI on the same multi-hot design (entity+attribute fast path).
+        # Round-3's "vi_100k_timesvdpp_rank10" was the raw engine
+        # steady rate; round-4 silently rerouted the same key through
+        # fit() (VERDICT r4 weak 5) — both are now reported under
+        # explicit names so trends stay comparable.
+        through, steady = _bench_vi_100k()
+        detail["vi_100k_timesvdpp_rank10_through_fit"] = through
+        detail["vi_100k_timesvdpp_rank10_steady"] = steady
     except Exception as exc:  # pragma: no cover
         log(f"VI 100k bench failed: {exc!r}")
     try:
         # the reference's true flagship config (ml-10m-regression.py
         # defaults to rank 128, examples/ml-10m-regression.py:20-274)
-        detail["fastpath_10m_rank128_sweeps_per_sec"] = (
-            _bench_rank128(X, blocks, y, grouping)
-        )
+        sps128, bound128 = _bench_rank128(X, blocks, y, grouping)
+        detail["fastpath_10m_rank128_sweeps_per_sec"] = sps128
+        if bound128 is not None:
+            detail["fastpath_10m_rank128_2term_bound"] = bound128
+            if sps128 is not None:
+                _put_fraction(
+                    detail, "fastpath_10m_rank128_2term_fraction",
+                    sps128 / bound128,
+                )
     except Exception as exc:  # pragma: no cover
         log(f"rank-128 bench failed: {exc!r}")
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=1)
     log(f"detail: {json.dumps(detail)}")
+
+    # ---- the headline line: LAST on stdout so the driver-captured
+    # tail always contains it ----------------------------------------
+    extra = {"note": headline_note} if headline_note else {}
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"Gibbs sweeps/sec, synthetic ML-10M "
+                    f"({n_rows} rows, rank {rank}, user/item "
+                    f"RelationBlocks + date one-hot)"
+                ),
+                "value": round(sweeps_per_sec, 3),
+                "unit": "sweeps/sec",
+                "vs_baseline": round(
+                    sweeps_per_sec / REFERENCE_PROJECTED_SWEEPS_PER_SEC, 1
+                ),
+                **extra,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _put_fraction(detail: dict, key: str, value: float) -> None:
+    """Sanity-gated fraction emit: a 'fraction of speed-of-light' > 1
+    means the bound model is broken (round-4 committed a 2.952), so
+    anything past a float-noise tolerance is reported as a raw value
+    plus an explicit model-violation note instead."""
+    value = round(value, 3)
+    if value <= 1.05:
+        detail[key] = value
+    else:
+        detail[key + "_raw"] = value
+        detail[key + "_note"] = (
+            "measured exceeds the modeled bound -> bound model invalid "
+            "for this run; fraction withheld"
+        )
 
 
 # ---- measured device calibration (2026-08-20) -----------------------
@@ -417,42 +483,85 @@ HW_AGG_BPS = 1.51e11  # 3-stream aggregate, measured
 # fractions, not hard bounds.
 HW_VMEM_BPS = 1.5e12
 HW_MATMUL_FLOPS = 4.2e13  # bf16-pass rate, chained measurement
+# Fused Gram kernel wall floor, fitted 2026-08-20 from
+# scripts/microbench_kernel_ts.py (rank 32, 2 cross-gathers, synthetic
+# tiles -> pure kernel, no XLA gather in the measurement):
+#   ns/tile-row ~= BASE + S_SLOPE*S + TILE_NS/T
+HW_KERNEL_BASE_NS = 2.5
+HW_KERNEL_S_SLOPE_NS = 0.55
+HW_KERNEL_TILE_NS = 2700.0
 
 
-def _fastpath_struct_bound(X, blocks, grouping, rank):
-    """Structural roofline of the fast-path sweep, refit round-4 to
-    the MEASURED device calibration (constants above).
+def _gram_kernel_floor_ns(T: int, S: int, rank: int) -> float:
+    """Measured wall-clock floor of the fused Gram kernel itself
+    (ns per tile row) at tiling (T, S): the fitted cost curve from
+    scripts/microbench_kernel_ts.py on THIS device (synthetic tiles —
+    pure kernel, no XLA gather).  The kernel is VPU-instruction-bound
+    (split ≡ bf16 wall; flat in operand bytes), so this is the compute
+    term of the two-term bound."""
+    return (
+        HW_KERNEL_BASE_NS
+        + HW_KERNEL_S_SLOPE_NS * S
+        + HW_KERNEL_TILE_NS / T
+    )
 
-    Per table pass, the unavoidable data motion is the two cross-table
-    gathers: each tile row needs the other tables' [w | V | qs] row,
-    128-lane padded (512 B at f32), written by the XLA gather and read
-    back by the Gram kernel.  With the write and read on separate DMA
-    engines (measured: streams scale with engine count) and perfect
-    overlap with all compute, the floor per table is
 
-        NT x max(512 B write, 512 B read) / HW_STREAM_BPS
+def _fastpath_struct_bound(X, blocks, grouping, rank, two_term=False):
+    """Structural roofline of the fast-path sweep at the MEASURED
+    device calibration (constants above).
 
-    per cross-gather pair — i.e. NT x 512/68e9 ~= 7.5 ns/row.  The MXU
-    passes, VPU work, aux/out traffic, and entity draws are all
-    assumed free (they are not: the kernel measures ~10 ns/row of
-    VPU-instruction floor on top).  Round-4 measured: 408 ms/sweep vs
-    this bound's ~240 ms (~0.59); closing further requires either
-    beating the ~68 GB/s per-stream DMA rate (device property) or
-    removing the gather->kernel round trip entirely (in-kernel gathers
-    from VMEM-resident sources do not fit: the user table alone is
-    ~9 MB, and Mosaic has no per-row dynamic HBM gather)."""
+    One-term (``two_term=False``, the round-4 bound, kept for trend
+    comparability): per table pass the unavoidable data motion is the
+    cross-table gather of each tile row's [w | V | qs] lane-padded row
+    (512 B at f32 rank 32) — NT x 512/68e9 ~= 7.5 ns/row, everything
+    else assumed free.
+
+    Two-term (``two_term=True``, round-5): the sweep's per-pass
+    structure is an XLA gather op THEN the Pallas Gram kernel — two
+    sequential device programs, so their costs ADD.  The gather term is
+    the one-term DMA floor; the kernel term is the MEASURED kernel wall
+    floor at the table's own (T, S) tiling (_gram_kernel_floor_ns,
+    fitted from scripts/microbench_kernel_ts.py synthetic-tile runs —
+    the kernel is VPU-instruction-bound, so no further byte-counting
+    applies).  This prices the ~42 % of wall the round-4 bound left
+    formally unexplained (VERDICT r4 weak 2)."""
     from myfm_tpu.design_categorical import try_compile_categorical
 
     plan = try_compile_categorical(
         X, blocks, np.asarray(grouping, dtype=np.int32), None,
         np.float32, rank=rank,
     )
+    return _struct_bound_from_plan(plan, rank, two_term)
+
+
+def _struct_bound_from_plan(plan, rank, two_term=False):
     lane_bytes = -(-(rank + 2) // 128) * 128 * 4
     total_s = 0.0
     for t in plan.tables:
         rows_padded = t.n_tiles * t.tile_rows
-        total_s += rows_padded * lane_bytes / HW_STREAM_BPS
+        per_row_ns = lane_bytes / HW_STREAM_BPS * 1e9
+        if two_term:
+            per_row_ns += _gram_kernel_floor_ns(
+                t.tile_rows, t.tile_entities, rank
+            )
+        total_s += rows_padded * per_row_ns * 1e-9
     return 1.0 / total_s
+
+
+def _vi_struct_bound(X, blocks, grouping, rank):
+    """VI analogue of the fast-path bound: the CAVI sweep's Gram rides
+    the same cross-absorbing kernel but with D = 3R+2 z-columns
+    ([w | wvar | V | sigma | sV] + [1 | e | q] rectangle,
+    ops/categorical_vi.py), so the gathered lane row is
+    ceil((3R+2)/128)*128 lanes wide and the kernel floor is evaluated
+    at the VI plan's own (T, S) tiling for that width."""
+    from myfm_tpu.design_categorical import try_compile_categorical
+
+    plan = try_compile_categorical(
+        X, blocks, np.asarray(grouping, dtype=np.int32), None,
+        np.float32, rank=3 * rank,
+    )
+    return _struct_bound_from_plan(plan, 3 * rank, two_term=True)
 
 
 def _timesvdpp_100k():
@@ -546,8 +655,10 @@ def _bench_rank128(X, blocks, y, grouping, n_timed=5, rank=128):
     )
     if plan is None:  # tiny-scale cardinality profiles miss the gate
         log("rank-128 bench: fast-path compile declined")
-        return None
-    log(f"rank-128 design compiled in {time.time()-t0:.1f}s")
+        return None, None
+    bound = round(_struct_bound_from_plan(plan, rank, two_term=True), 3)
+    log(f"rank-128 design compiled in {time.time()-t0:.1f}s "
+        f"(2-term bound {bound} sweeps/s)")
     cfg = GibbsConfig(task="regression")
     trainer = CategoricalGibbsTrainer(
         plan, y, cfg, rank=rank, init_stdev=0.1, random_seed=42,
@@ -570,7 +681,7 @@ def _bench_rank128(X, blocks, y, grouping, n_timed=5, rank=128):
         _ = float(state.core.alpha)
     sps_128 = n_timed / (time.time() - t0)
     log(f"fast path 10M rank 128: {sps_128:.3f} sweeps/s")
-    return round(sps_128, 3)
+    return round(sps_128, 3), bound
 
 
 def _bench_predict(X, blocks, rank, state, n_samples=8):
@@ -671,16 +782,46 @@ def _bench_colored_100k(n_timed=3):
     return round(it_s, 2)
 
 
+def _bench_fit_100k(rank=10, n_timed=20):
+    """End-to-end ``MyFMRegressor.fit`` steady it/s on the ML-100k
+    timesvdpp features with the default (tqdm) callback — the
+    like-for-like measure against the reference's 20-22 it/s
+    (relation-blocks.rst:199, notebook 22.13 it/s): two warm fits whose
+    iteration counts differ by n_timed; steady it/s = n_timed / delta
+    wall (plan build + compile cancel out)."""
+    from myfm_tpu import MyFMRegressor
+
+    X_date, blocks, y, grouping = _timesvdpp_100k()
+
+    def fit(n_iter):
+        fm = MyFMRegressor(rank=rank, random_seed=42)
+        t0 = time.time()
+        fm.fit(
+            X_date, y, X_rel=blocks, n_iter=n_iter, grouping=grouping,
+        )
+        return time.time() - t0, fm
+
+    fit(3)  # compile (cold plan/jit caches)
+    t_short, _ = fit(3)
+    t_long, fm = fit(3 + n_timed)
+    it_s = n_timed / max(t_long - t_short, 1e-3)
+    log(f"through-fit ML-100k timesvdpp rank {rank}: {it_s:.2f} it/s "
+        f"(engine={fm.history_.engine}, warm fits {t_short:.1f}s / "
+        f"{t_long:.1f}s; reference C++ end-to-end: 20-22 it/s)")
+    return round(it_s, 2)
+
+
 def _bench_vi_100k(rank=10, n_timed=10):
     """Entity+attribute VI on the ML-100k timesvdpp features — the
     multi-hot design class that round 2 still served from the staged
     colored path (~100x slower).  Reference VI handles its relational
     configs in seconds (variational.hpp:450-833).
 
-    Routed through the REAL ``VariationalFMRegressor.fit`` dispatch
-    (VERDICT r3 item 8) so a regression in the EA-plan fallback chain
-    (variational.py:124-150) shows up here: two fits whose iteration
-    counts differ by n_timed, steady it/s = delta wall / n_timed."""
+    Returns (through_fit_it_s, steady_it_s): the first through the
+    REAL ``VariationalFMRegressor.fit`` dispatch (VERDICT r3 item 8 —
+    two fits whose iteration counts differ by n_timed), the second the
+    raw engine loop (sweep dispatches only), preserving the round-3
+    trend metric (VERDICT r4 weak 5)."""
     from myfm_tpu import VariationalFMRegressor
 
     X_date, blocks, y, grouping = _timesvdpp_100k()
@@ -694,17 +835,45 @@ def _bench_vi_100k(rank=10, n_timed=10):
             X_date, y, X_rel=blocks, n_iter=n_iter, grouping=grouping,
         )
         assert vfm.history_.engine == "fastpath", vfm.history_.engine
-        return time.time() - t0
+        return time.time() - t0, vfm
 
     fit(2)  # compile (cold plan/jit caches)
-    t_short = fit(2)  # warm baseline: plan build + 2 iters
-    t_long = fit(2 + n_timed)  # warm: plan build + (2 + n) iters
+    t_short, _ = fit(2)  # warm baseline: plan build + 2 iters
+    t_long, _ = fit(2 + n_timed)  # warm: plan build + (2 + n) iters
     it_s = n_timed / max(t_long - t_short, 1e-3)
+
+    # raw engine steady rate on the same plan (round-3 metric)
+    from myfm_tpu.design_categorical import try_compile_categorical
+    from myfm_tpu.ops.variational import VariationalConfig
+    from myfm_tpu.vi_trainer import CategoricalVITrainer
+
+    plan = try_compile_categorical(
+        X_date, blocks, np.asarray(grouping, dtype=np.int32), None,
+        np.float32, rank=max(4 * rank, 1), allow_side=True,
+    )
+    steady = None
+    if plan is not None:
+        tr = CategoricalVITrainer(
+            plan, y, VariationalConfig(task="regression"), rank, 0.1,
+            42, np.float32,
+        )
+        state = tr._initialize()
+        state = tr._sweep(
+            tr.plan, state, tr.y, tr.y_tiles, tr.cfg, tr._interpret
+        )
+        float(state.core.elbo)
+        t0 = time.time()
+        for _ in range(n_timed):
+            state = tr._sweep(
+                tr.plan, state, tr.y, tr.y_tiles, tr.cfg, tr._interpret
+            )
+        float(state.core.elbo)
+        steady = round(n_timed / (time.time() - t0), 2)
+
     log(f"VI EA fast path ML-100k timesvdpp rank {rank}: "
-        f"{it_s:.2f} it/s through fit() "
-        f"(warm fits {t_short:.1f}s / {t_long:.1f}s; "
-        f"round-2 staged colored: ~0.01 it/s)")
-    return round(it_s, 2)
+        f"{it_s:.2f} it/s through fit(), {steady} it/s raw engine "
+        f"(warm fits {t_short:.1f}s / {t_long:.1f}s)")
+    return round(it_s, 2), steady
 
 
 def _bench_vi(X, blocks, y, grouping, rank, n_timed=5):

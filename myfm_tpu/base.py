@@ -29,7 +29,7 @@ try:
 except Exception:  # pragma: no cover
 
     class tqdm:  # type: ignore
-        def __init__(self, total=None):
+        def __init__(self, total=None, **kwargs):
             self.total = total
 
         def __enter__(self):
@@ -410,7 +410,9 @@ class MyFMBase(ABC):
 
         user_callback = callback or default_callback
 
-        with tqdm(total=n_iter) as progress:
+        # disable=None: tqdm renders on a TTY and stays silent when
+        # stdout/stderr is captured (benchmark drivers, CI logs)
+        with tqdm(total=n_iter, disable=None) as progress:
 
             def on_iteration(i, fm, hyper, history) -> bool:
                 should_stop, message = user_callback(
@@ -420,6 +422,13 @@ class MyFMBase(ABC):
                     progress.set_description(message)
                 progress.update(1)
                 return should_stop
+
+            # the default callback touches host values only every
+            # callback_default_freq sweeps, so the trainer may harvest
+            # the trace asynchronously (trainer.callback_allows_async);
+            # a user-supplied callback keeps the reference's eager
+            # per-sweep view semantics
+            on_iteration.allow_async_trace = callback is None
 
             self.predictor_, self.history_ = self._train_core(
                 self.rank,

@@ -326,6 +326,82 @@ def _std_cdf(x):
     return 0.5 * (1.0 + jax.scipy.special.erf(x * np.sqrt(0.5)))
 
 
+def scores_samples_reduce_sharded(
+    plan: InferencePlan,
+    w0s: jax.Array,
+    ws: jax.Array,
+    Vs: jax.Array,
+    mesh,
+    mode: str = "sum",
+    cutpoints: Optional[jax.Array] = None,
+    row_chunk: int = _ROW_CHUNK,
+):
+    """Multi-chip posterior-predictive scoring: rows shard over the
+    mesh's ``('data',)`` axis, the sample-stacked gather sources are
+    replicated, and each device runs the single-chip scoring pass on
+    its row shard (no cross-device communication — scoring is
+    row-independent, exactly like the reference's thread pool over
+    samples, predictor.hpp:35-124, transposed to rows).
+
+    Returns the same [N] / [N, K] sums as scores_samples_reduce up to
+    float reassociation (the per-chunk accumulation order differs)."""
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = int(mesh.devices.size)
+    N = plan.n_rows
+    local_N = -(-N // n_dev)
+    Np = local_N * n_dev
+
+    ents = []
+    for t in plan.tables:
+        m = t.ent
+        if Np != N:
+            m = jnp.concatenate(
+                [m, jnp.full((Np - N,), t.n_cols, m.dtype)]
+            )
+        ents.append(m)
+    ents = tuple(
+        jax.device_put(m, NamedSharding(mesh, P("data")))
+        for m in ents
+    )
+    aux = tuple((t.xs, t.feat_cols) for t in plan.tables)
+    metas = tuple((t.col_offset, t.n_cols) for t in plan.tables)
+    lchunk = min(row_chunk, 1 << max(local_N - 1, 1).bit_length())
+
+    def local_fn(ents, w0s, ws, Vs, cps):
+        tables = tuple(
+            InferenceTable(
+                ent=e, col_offset=off, n_cols=B, xs=xs, feat_cols=fc
+            )
+            for e, (xs, fc), (off, B) in zip(ents, aux, metas)
+        )
+        lplan = InferencePlan(
+            tables=tables, n_rows=local_N,
+            n_features=plan.n_features,
+        )
+        return scores_samples_reduce(
+            lplan, w0s, ws, Vs, mode=mode, cutpoints=cps,
+            row_chunk=lchunk,
+        )
+
+    cps = (
+        cutpoints
+        if cutpoints is not None
+        else jnp.zeros((w0s.shape[0], 1), w0s.dtype)
+    )
+    ent_specs = tuple(P("data") for _ in ents)
+    f = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(ent_specs, P(), P(), P(), P()),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    out = f(ents, w0s, ws, Vs, cps)
+    return out[:N]
+
+
 def serving_roofline_rows_per_sec(
     plan: InferencePlan, n_samples: int, rank: int,
     hbm_bps: float = 1.51e11,

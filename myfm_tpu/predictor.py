@@ -10,6 +10,7 @@ construction.  ``n_workers`` is accepted for API parity and ignored.
 
 from __future__ import annotations
 
+import weakref
 from typing import List, Optional, Sequence, Union
 
 import numpy as np
@@ -24,6 +25,7 @@ from .ops.forward import predict_score
 from .ops.forward_categorical import (
     compile_categorical_inference,
     scores_samples_reduce,
+    scores_samples_reduce_sharded,
     serving_row_chunk,
 )
 from .relational import RelationBlock
@@ -43,6 +45,46 @@ _CHUNK_ELEMENTS = 1 << 26
 
 def _std_cdf(x):
     return 0.5 * (1.0 + jax.scipy.special.erf(x * np.sqrt(0.5)))
+
+
+class _LiveKey:
+    """Identity cache key that cannot alias recycled ids.
+
+    ``id()`` tuples alone are unsound as cache keys: Python reuses
+    addresses after GC, so a freed design matrix followed by a new one
+    at the same address would silently serve the stale cached plan.
+    This key holds a weakref per object — if any keyed object has been
+    collected the key reports a miss — plus a cheap structural
+    fingerprint (shape/nnz) as a second factor for objects that cannot
+    be weak-referenced."""
+
+    def __init__(self, objs):
+        self._ids = tuple(id(o) for o in objs)
+        self._prints = tuple(self._fingerprint(o) for o in objs)
+        refs = []
+        for o in objs:
+            try:
+                refs.append(weakref.ref(o))
+            except TypeError:
+                refs.append(None)
+        self._refs = tuple(refs)
+
+    @staticmethod
+    def _fingerprint(o):
+        shape = getattr(o, "shape", None)
+        nnz = getattr(o, "nnz", None)
+        return (type(o).__name__, shape, nnz)
+
+    def matches(self, objs) -> bool:
+        if len(objs) != len(self._ids):
+            return False
+        if tuple(id(o) for o in objs) != self._ids:
+            return False
+        if tuple(self._fingerprint(o) for o in objs) != self._prints:
+            return False
+        # any dead weakref means the original object was collected and
+        # this id belongs to a different object now
+        return all(r is None or r() is not None for r in self._refs)
 
 
 class Predictor:
@@ -68,17 +110,18 @@ class Predictor:
                       X_rel: Sequence[RelationBlock]):
         """Entity-space inference plan (ops/forward_categorical), or
         None when the design is not categorical.  Cached per (X, X_rel)
-        identity so repeated serving calls on the same design pay the
-        entity-map upload once."""
-        key = (id(X),) + tuple(id(b) for b in X_rel)
+        identity (weakref-validated, _LiveKey) so repeated serving
+        calls on the same design pay the entity-map upload once while a
+        recycled id can never serve a stale plan."""
+        objs = (X,) + tuple(X_rel)
         cached = getattr(self, "_fast_plan_cache", None)
-        if cached is not None and cached[0] == key:
+        if cached is not None and cached[0].matches(objs):
             return cached[1]
         try:
             plan = compile_categorical_inference(X, X_rel, self.dtype)
         except Exception:
             plan = None
-        self._fast_plan_cache = (key, plan)
+        self._fast_plan_cache = (_LiveKey(objs), plan)
         return plan
 
     def _sample_chunks(self):
@@ -86,9 +129,8 @@ class Predictor:
         sample chunk, cached across predict calls (serving reuses the
         same kept samples; re-uploading the stacked weights through a
         slow host->device link would otherwise dominate every call)."""
-        key = tuple(map(id, self.samples))
         cached = getattr(self, "_sample_stack_cache", None)
-        if cached is not None and cached[0] == key:
+        if cached is not None and cached[0].matches(tuple(self.samples)):
             yield from cached[1]
             return
         per_sample = max(1, self.n_features * max(self.rank, 1))
@@ -107,7 +149,7 @@ class Predictor:
             )
             staged.append((part, w0s, ws, vs))
             yield part, w0s, ws, vs
-        self._sample_stack_cache = (key, staged)
+        self._sample_stack_cache = (_LiveKey(tuple(self.samples)), staged)
 
     # -- public API (parity with predictor.hpp) -----------------------
 
@@ -116,26 +158,45 @@ class Predictor:
         X: Optional[ArrayLike],
         X_rel: Sequence[RelationBlock] = (),
         n_workers: Optional[int] = None,
+        mesh=None,
     ) -> np.ndarray:
         """Posterior-predictive mean (probit-squashed per sample for
-        classification, then averaged — predictor.hpp:126-147)."""
+        classification, then averaged — predictor.hpp:126-147).
+
+        ``mesh``: an optional ``jax.sharding.Mesh`` with a ``('data',)``
+        axis — rows shard across its devices and each chip scores its
+        shard against the replicated sample stack (the multi-chip
+        analogue of the reference's ``predict_parallel`` thread pool,
+        predictor.hpp:35-76).  Requires the entity-space fast path."""
         if not self.samples:
             raise RuntimeError("Predictor has no samples.")
         squash = self.task == TASK_CLASSIFICATION
         fast = self._compile_fast(X, X_rel)
+        if mesh is not None and fast is None:
+            raise ValueError(
+                "mesh-sharded prediction requires the entity-space "
+                "fast path; this design fell back to the row-space "
+                "scorer (single-chip only)."
+            )
         if fast is not None:
             mode = "probit_sum" if squash else "sum"
             total = np.zeros(fast.n_rows, dtype=np.float64)
             for part, w0s, ws, vs in self._sample_chunks():
-                total += np.asarray(
-                    _scores_reduce_jit(
+                if mesh is not None:
+                    out = scores_samples_reduce_sharded(
+                        fast, w0s, ws, vs, mesh, mode=mode,
+                        row_chunk=serving_row_chunk(
+                            len(part), self.rank
+                        ),
+                    )
+                else:
+                    out = _scores_reduce_jit(
                         fast, w0s, ws, vs, mode=mode,
                         row_chunk=serving_row_chunk(
                             len(part), self.rank
                         ),
-                    ),
-                    dtype=np.float64,
-                )
+                    )
+                total += np.asarray(out, dtype=np.float64)
             return total / len(self.samples)
         plan = self._compile(X, X_rel)
 
@@ -159,8 +220,9 @@ class Predictor:
         X: Optional[ArrayLike],
         X_rel: Sequence[RelationBlock] = (),
         n_workers: Optional[int] = None,
+        mesh=None,
     ) -> np.ndarray:
-        return self.predict(X, X_rel)
+        return self.predict(X, X_rel, mesh=mesh)
 
     def predict_parallel_oprobit(
         self,
@@ -168,12 +230,20 @@ class Predictor:
         X_rel: Sequence[RelationBlock] = (),
         n_workers: Optional[int] = None,
         cutpoint_index: int = 0,
+        mesh=None,
     ) -> np.ndarray:
         """Average per-sample ordinal class probabilities
-        (predictor.hpp:78-124 + FM.hpp:137-162)."""
+        (predictor.hpp:78-124 + FM.hpp:137-162); ``mesh`` shards rows
+        as in ``predict``."""
         if not self.samples:
             raise RuntimeError("Predictor has no samples.")
         fast = self._compile_fast(X, X_rel)
+        if mesh is not None and fast is None:
+            raise ValueError(
+                "mesh-sharded prediction requires the entity-space "
+                "fast path; this design fell back to the row-space "
+                "scorer (single-chip only)."
+            )
         if fast is not None:
             total = None
             for part, w0s, ws, vs in self._sample_chunks():
@@ -182,16 +252,18 @@ class Predictor:
                         [s.cutpoints[cutpoint_index] for s in part]
                     ).astype(self.dtype)
                 )
-                out = np.asarray(
-                    _scores_reduce_jit(
+                rc = serving_row_chunk(len(part), self.rank)
+                if mesh is not None:
+                    raw = scores_samples_reduce_sharded(
+                        fast, w0s, ws, vs, mesh, mode="oprobit_sum",
+                        cutpoints=cps, row_chunk=rc,
+                    )
+                else:
+                    raw = _scores_reduce_jit(
                         fast, w0s, ws, vs, mode="oprobit_sum",
-                        cutpoints=cps,
-                        row_chunk=serving_row_chunk(
-                            len(part), self.rank
-                        ),
-                    ),
-                    dtype=np.float64,
-                )
+                        cutpoints=cps, row_chunk=rc,
+                    )
+                out = np.asarray(raw, dtype=np.float64)
                 total = out if total is None else total + out
             return total / len(self.samples)
         plan = self._compile(X, X_rel)

@@ -46,6 +46,108 @@ def _fetch_vfm(state: VIState) -> VariationalFM:
     )
 
 
+class LazyVFMView:
+    """VariationalFM view over live device state; fetches on access.
+
+    Valid during the callback invocation only (the next sweep donates
+    the underlying buffers) — same contract as trainer.LazyFMView."""
+
+    def __init__(self, state: VIState):
+        self._state = state
+        self._vals = {}
+
+    def _get(self, name, scalar=False):
+        if name not in self._vals:
+            v = getattr(self._state, name)
+            self._vals[name] = float(v) if scalar else np.asarray(v)
+        return self._vals[name]
+
+    @property
+    def w0(self):
+        return self._get("w0", scalar=True)
+
+    @property
+    def w0_var(self):
+        return self._get("w0_var", scalar=True)
+
+    @property
+    def w(self):
+        return self._get("w")
+
+    @property
+    def w_var(self):
+        return self._get("w_var")
+
+    @property
+    def V(self):
+        return self._get("V")
+
+    @property
+    def V_var(self):
+        return self._get("V_var")
+
+    @property
+    def n_factors(self) -> int:
+        return int(self._state.V.shape[1])
+
+    def predict_score(self, X, X_rel=()):
+        from .containers import fm_predict_score_numpy
+
+        return fm_predict_score_numpy(self.w0, self.w, self.V, X, X_rel)
+
+
+class LazyVHyperView:
+    """VariationalFMHyperParameters view over live device state."""
+
+    _FIELDS = (
+        "alpha", "alpha_rate", "mu_w", "mu_w_var", "lambda_w",
+        "lambda_w_rate", "mu_V", "mu_V_var", "lambda_V",
+        "lambda_V_rate",
+    )
+
+    def __init__(self, state: VIState):
+        object.__setattr__(self, "_state", state)
+        object.__setattr__(self, "_vals", {})
+
+    def __getattr__(self, name):
+        if name not in self._FIELDS:
+            raise AttributeError(name)
+        if name not in self._vals:
+            v = getattr(self._state, name)
+            self._vals[name] = (
+                float(v) if name in ("alpha", "alpha_rate")
+                else np.asarray(v)
+            )
+        return self._vals[name]
+
+
+class _LazyElbo:
+    """history.elbos entry backed by a snapshot device scalar; behaves
+    as a float once forced (always finalized to a real float after the
+    loop)."""
+
+    __slots__ = ("_bufs", "_val")
+
+    def __init__(self, buf):
+        self._bufs = (buf,)
+        self._val = None
+
+    def force(self) -> float:
+        if self._val is None:
+            self._val = float(np.asarray(self._bufs[0]))
+            self._bufs = ()
+        return self._val
+
+    def materialize(self) -> float:
+        return self.force()
+
+    def __float__(self):
+        return self.force()
+
+    def __repr__(self):
+        return repr(self.force())
+
+
 def _fetch_hyper(state: VIState) -> VariationalFMHyperParameters:
     return VariationalFMHyperParameters(
         alpha=float(state.alpha),
@@ -117,43 +219,81 @@ class CategoricalVITrainer:
         return run_cavi_loop(self, n_iter, callback)
 
 
+def _cavi_loop(
+    trainer,
+    n_iter: int,
+    callback,
+    sweep_once,
+    core_of,
+    engine: str,
+) -> Tuple[VariationalPredictor, VariationalLearningHistory]:
+    """Shared CAVI driver (deterministic sweeps, ELBO trace, early-stop
+    callback) — the VI analogue of trainer.run_mcmc_loop, with the same
+    two harvesting modes: eager per-sweep fetches for user callbacks,
+    or async snapshot/prefetch of the ELBO trace when the callback
+    permits it (trainer.callback_allows_async)."""
+    from .trainer import _AsyncDrain, _snap, callback_allows_async
+
+    state = trainer._initialize()
+    history = VariationalLearningHistory(
+        hypers=None, elbos=[], engine=engine
+    )
+    use_async = callback_allows_async(callback)
+    drain = _AsyncDrain() if use_async else None
+    for it in range(n_iter):
+        state = sweep_once(state)
+        core = core_of(state)
+        if use_async:
+            le = _LazyElbo(_snap((core.elbo,))[0])
+            history.elbos.append(le)
+            drain.push(le)
+            if callback is not None and callback(
+                it, LazyVFMView(core), LazyVHyperView(core), history
+            ):
+                break
+        else:
+            history.elbos.append(float(core.elbo))
+            if callback is not None and callback(
+                it, _fetch_vfm(core), _fetch_hyper(core), history
+            ):
+                break
+    if drain is not None:
+        drain.drain()
+        history.elbos = [
+            e.materialize() if isinstance(e, _LazyElbo) else e
+            for e in history.elbos
+        ]
+    core = core_of(state)
+    history.hypers = _fetch_hyper(core)
+    predictor = VariationalPredictor(
+        trainer.rank, trainer.plan.n_features, trainer.cfg.task,
+        trainer.dtype,
+    )
+    predictor.samples.append(_fetch_vfm(core))
+    return predictor, history
+
+
 def run_cavi_loop(
     trainer,
     n_iter: int,
     callback: Optional[Callable] = None,
 ) -> Tuple[VariationalPredictor, VariationalLearningHistory]:
-    """Shared fast-path CAVI driver (deterministic sweeps, ELBO trace,
-    early-stop callback) — the VI analogue of trainer.run_mcmc_loop.
+    """Fast-path CAVI driver.  ``trainer`` provides ``_initialize()``,
+    a ``_sweep(plan, state, y, y_tiles, cfg, interpret)`` callable, and
+    the ``plan / y / y_tiles / cfg / rank / dtype / _interpret``
+    attributes; used by the single-chip CategoricalVITrainer and the
+    sharded parallel.sharding_categorical.ShardedCategoricalVITrainer."""
 
-    ``trainer`` provides ``_initialize()``, a ``_sweep(plan, state, y,
-    y_tiles, cfg, interpret)`` callable, and the ``plan / y / y_tiles /
-    cfg / rank / dtype / _interpret`` attributes; used by the
-    single-chip CategoricalVITrainer and the sharded
-    parallel.sharding_categorical.ShardedCategoricalVITrainer."""
-    state = trainer._initialize()
-    history = VariationalLearningHistory(
-        hypers=None, elbos=[], engine="fastpath"
-    )
-    for it in range(n_iter):
-        state = trainer._sweep(
+    def sweep_once(state):
+        return trainer._sweep(
             trainer.plan, state, trainer.y, trainer.y_tiles,
             trainer.cfg, trainer._interpret,
         )
-        history.elbos.append(float(state.core.elbo))
-        if callback is not None:
-            should_stop = callback(
-                it, _fetch_vfm(state.core),
-                _fetch_hyper(state.core), history,
-            )
-            if should_stop:
-                break
-    history.hypers = _fetch_hyper(state.core)
-    predictor = VariationalPredictor(
-        trainer.rank, trainer.plan.n_features, trainer.cfg.task,
-        trainer.dtype,
+
+    return _cavi_loop(
+        trainer, n_iter, callback, sweep_once,
+        core_of=lambda s: s.core, engine="fastpath",
     )
-    predictor.samples.append(_fetch_vfm(state.core))
-    return predictor, history
 
 
 class VariationalTrainer:
@@ -254,25 +394,12 @@ class VariationalTrainer:
         n_iter: int,
         callback: Optional[Callable] = None,
     ) -> Tuple[VariationalPredictor, VariationalLearningHistory]:
-        state = self._initialize()
-        history = VariationalLearningHistory(
-            hypers=None, elbos=[], engine="colored"
-        )
-        for it in range(n_iter):
+        def sweep_once(state):
             if self._staged:
-                state = self._sweep_staged(state)
-            else:
-                state = self._sweep(self.plan, state, self.y, self.cfg)
-            history.elbos.append(float(state.elbo))
-            if callback is not None:
-                should_stop = callback(
-                    it, _fetch_vfm(state), _fetch_hyper(state), history
-                )
-                if should_stop:
-                    break
-        history.hypers = _fetch_hyper(state)
-        predictor = VariationalPredictor(
-            self.rank, self.plan.n_features, self.cfg.task, self.dtype
+                return self._sweep_staged(state)
+            return self._sweep(self.plan, state, self.y, self.cfg)
+
+        return _cavi_loop(
+            self, n_iter, callback, sweep_once,
+            core_of=lambda s: s, engine="colored",
         )
-        predictor.samples.append(_fetch_vfm(state))
-        return predictor, history

@@ -623,3 +623,53 @@ def test_gram_bf16_mode_error_bound_and_recovery():
     yhat /= len(pred.samples)
     rmse = float(np.sqrt(np.mean((yhat - y) ** 2)))
     assert rmse < 0.45  # noise floor 0.3; colored/f32 runs land ~0.33
+
+
+@pytest.mark.parametrize("T,S", [(16, 2), (64, 8), (256, 4)])
+@pytest.mark.parametrize("seed,masked", [(0, False), (5, True)])
+def test_device_derived_src_slot_matches_host_pack(T, S, seed, masked):
+    """The single-jit on-device src/slot derivation (TTFS path:
+    _plan_tiles + _derive_src_slot_device) must reproduce the host
+    packing bit-for-bit, including SPMD pad rows and row-less
+    entities."""
+    rng = np.random.RandomState(seed)
+    N, B = 650, 23
+    ent = rng.randint(0, B, N)
+    ent[ent == 5] = 6  # entity with zero rows
+    if masked:
+        ent[rng.rand(N) < 0.1] = B  # SPMD pad rows
+    host = compile_categorical_table(
+        ent, B, 0, N, np.float32, T=T, S=S,
+        derive_src_on_device=False,
+    )
+    dev = compile_categorical_table(
+        ent, B, 0, N, np.float32, T=T, S=S,
+        derive_src_on_device=True,
+    )
+    for field in ("src", "slot", "slot_f", "ent_of_tile_row",
+                  "cont_in", "cont_out", "last_slot", "ent_slots",
+                  "final_part", "fin_win", "fin_idx", "fin_mask"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(host, field)),
+            np.asarray(getattr(dev, field)),
+            err_msg=field,
+        )
+
+    # the SPMD shape-padding path (fixed tiling + padded tile count)
+    host_p = compile_categorical_table(
+        ent, B, 0, N, np.float32, fixed_ts=(T, S),
+        pad_tiles_to=host.n_tiles + 3, max_fin_pad=host.max_fin + 1,
+        derive_src_on_device=False,
+    )
+    dev_p = compile_categorical_table(
+        ent, B, 0, N, np.float32, fixed_ts=(T, S),
+        pad_tiles_to=host.n_tiles + 3, max_fin_pad=host.max_fin + 1,
+        derive_src_on_device=True,
+    )
+    for field in ("src", "slot", "ent_of_tile_row", "final_part",
+                  "fin_idx", "fin_mask"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(host_p, field)),
+            np.asarray(getattr(dev_p, field)),
+            err_msg=f"padded {field}",
+        )

@@ -18,7 +18,7 @@ from myfm_tpu.ops.forward_categorical import (
     serving_roofline_rows_per_sec,
     stack_sources,
 )
-from myfm_tpu.predictor import Predictor
+from myfm_tpu.predictor import Predictor, _LiveKey
 
 from .oracle import FMWeights, expand_blocks, fm_oracle_score
 
@@ -122,10 +122,65 @@ def test_predictor_uses_fast_path_and_matches_slow():
     pred2 = Predictor(rank=3, n_features=F, task="regression",
                       dtype=np.float64)
     pred2.samples = pred.samples
-    pred2._fast_plan_cache = ((id(X),) + tuple(id(b) for b in blocks),
-                              None)
+    pred2._fast_plan_cache = (_LiveKey((X,) + tuple(blocks)), None)
     slow = pred2.predict(X, blocks)
     np.testing.assert_allclose(fast, slow, rtol=1e-9, atol=1e-9)
+
+
+def test_plan_cache_rejects_recycled_id():
+    """A freed design followed by a new object at the same address must
+    MISS the plan cache (round-4 VERDICT weak 6: id()-keyed caches can
+    silently serve a stale plan after GC id reuse)."""
+    rng = np.random.RandomState(11)
+    X, blocks = _categorical_design(rng)
+    key = _LiveKey((X,) + tuple(blocks))
+    assert key.matches((X,) + tuple(blocks))
+
+    X2, blocks2 = _categorical_design(np.random.RandomState(12))
+    # different live object → id mismatch → miss
+    assert not key.matches((X2,) + tuple(blocks2))
+
+    # simulate id recycling: kill the original, then point the key's
+    # stored ids/fingerprints at the new object as if the allocator
+    # reused the address — the dead weakref must still force a miss
+    del X, blocks
+    import gc
+
+    gc.collect()
+    key._ids = (id(X2),) + tuple(id(b) for b in blocks2)
+    key._prints = tuple(
+        key._fingerprint(o) for o in (X2,) + tuple(blocks2)
+    )
+    assert not key.matches((X2,) + tuple(blocks2))
+
+
+def test_sample_stack_cache_invalidates_on_new_samples():
+    """Appending or replacing kept samples must re-stage the stacked
+    device weights (predictor.hpp:126-147 averages over exactly the
+    current sample set)."""
+    rng = np.random.RandomState(13)
+    X, blocks = _categorical_design(rng)
+    plan = compile_categorical_inference(X, blocks, np.float64)
+    F = plan.n_features
+    pred = Predictor(rank=2, n_features=F, task="regression",
+                     dtype=np.float64)
+    for s in _samples(rng, F, 2, 3):
+        pred.samples.append(FM(s.w0, s.w, s.V, []))
+    out1 = pred.predict(X, blocks)
+    # replace one sample with a different-content FM (same shapes)
+    s_new = _samples(np.random.RandomState(14), F, 2, 1)[0]
+    pred.samples[0] = FM(s_new.w0, s_new.w, s_new.V, [])
+    out2 = pred.predict(X, blocks)
+    X_full = expand_blocks(X, blocks)
+    oracle = np.mean(
+        [
+            fm_oracle_score(X_full, FMWeights(s.w0, s.w, s.V))
+            for s in pred.samples
+        ],
+        axis=0,
+    )
+    assert not np.allclose(out1, out2)
+    np.testing.assert_allclose(out2, oracle, rtol=1e-6, atol=1e-6)
 
 
 def test_predictor_classification_squash():

@@ -419,3 +419,64 @@ def test_sharded_categorical_reduce_scatter_parity(n_dev):
         np.testing.assert_allclose(a.w0, b.w0, rtol=1e-9)
         np.testing.assert_allclose(a.w, b.w, rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(a.V, b.V, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_sharded_predict_equals_single_chip(n_dev):
+    """Row-sharded posterior serving ≡ single-chip serving (to float
+    reassociation) — the TPU-native predict_parallel analogue
+    (predictor.hpp:35-76)."""
+    import scipy.sparse as sps
+
+    from myfm_tpu import RelationBlock
+    from myfm_tpu.containers import FM
+    from myfm_tpu.predictor import Predictor
+
+    rng = np.random.RandomState(21)
+    n, nu, ni, nd, rank = 203, 17, 9, 5, 3
+    u = rng.randint(0, nu, n)
+    i = rng.randint(0, ni, n)
+    d = rng.randint(0, nd, n)
+    X = sps.csr_matrix(
+        (np.ones(n), (np.arange(n), d)), shape=(n, nd)
+    )
+    blocks = [
+        RelationBlock(u, sps.identity(nu, format="csr")),
+        RelationBlock(i, sps.identity(ni, format="csr")),
+    ]
+    F = nd + nu + ni
+    pred = Predictor(rank, F, "regression", np.float64)
+    for k in range(4):
+        pred.samples.append(
+            FM(
+                float(rng.randn()),
+                rng.randn(F) * 0.3,
+                rng.randn(F, rank) * 0.3,
+                [],
+            )
+        )
+    single = pred.predict(X, blocks)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    sharded = pred.predict(X, blocks, mesh=mesh)
+    np.testing.assert_allclose(sharded, single, rtol=1e-9, atol=1e-12)
+
+    # classification squash path
+    pred_c = Predictor(rank, F, "classification", np.float64)
+    pred_c.samples = pred.samples
+    np.testing.assert_allclose(
+        pred_c.predict(X, blocks, mesh=mesh),
+        pred_c.predict(X, blocks),
+        rtol=1e-9, atol=1e-12,
+    )
+
+    # ordered-probit class probabilities
+    pred_o = Predictor(rank, F, "ordered", np.float64)
+    for s in pred.samples:
+        pred_o.samples.append(
+            FM(s.w0, s.w, s.V, [np.array([-0.5, 0.4, 1.3])])
+        )
+    np.testing.assert_allclose(
+        pred_o.predict_parallel_oprobit(X, blocks, mesh=mesh),
+        pred_o.predict_parallel_oprobit(X, blocks),
+        rtol=1e-9, atol=1e-12,
+    )
