@@ -483,27 +483,35 @@ HW_AGG_BPS = 1.51e11  # 3-stream aggregate, measured
 # fractions, not hard bounds.
 HW_VMEM_BPS = 1.5e12
 HW_MATMUL_FLOPS = 4.2e13  # bf16-pass rate, chained measurement
-# Fused Gram kernel wall floor, fitted 2026-08-20 from
-# scripts/microbench_kernel_ts.py (rank 32, 2 cross-gathers, synthetic
-# tiles -> pure kernel, no XLA gather in the measurement):
-#   ns/tile-row ~= BASE + S_SLOPE*S + TILE_NS/T
-HW_KERNEL_BASE_NS = 2.5
-HW_KERNEL_S_SLOPE_NS = 0.55
-HW_KERNEL_TILE_NS = 2700.0
+# Fused Gram kernel wall floor (pure DEVICE time: carry-chained
+# repetitions, tunnel RTT subtracted by comparing two chain lengths),
+# measured 2026-08-20 with scripts/microbench_kernel_ts.py on
+# synthetic tiles (2 cross-gather operands, split matmul, production
+# tiles_per_step), at each production tiling of the 10M plans:
+#   rank -> {(T, S): ns per tile row}
+HW_KERNEL_FLOOR_NS = {
+    # floors take the MIN over measured matmul modes and G batchings
+    # (a bound must be optimistic); the production resolver's mode is
+    # within ~5 % of the min everywhere
+    32: {(1024, 1): 6.7, (512, 2): 8.0, (256, 4): 10.1},
+    128: {(1024, 1): 12.2, (128, 2): 22.9, (256, 1): 14.8},
+    # VI width (3R+2 = 98 z-columns at R = 32) plan tilings
+    96: {(1024, 1): 7.0, (256, 2): 11.7, (512, 1): 8.7},
+}
 
 
 def _gram_kernel_floor_ns(T: int, S: int, rank: int) -> float:
-    """Measured wall-clock floor of the fused Gram kernel itself
-    (ns per tile row) at tiling (T, S): the fitted cost curve from
-    scripts/microbench_kernel_ts.py on THIS device (synthetic tiles —
-    pure kernel, no XLA gather).  The kernel is VPU-instruction-bound
-    (split ≡ bf16 wall; flat in operand bytes), so this is the compute
-    term of the two-term bound."""
-    return (
-        HW_KERNEL_BASE_NS
-        + HW_KERNEL_S_SLOPE_NS * S
-        + HW_KERNEL_TILE_NS / T
-    )
+    """Measured device-time floor of the fused Gram kernel itself
+    (ns per tile row) at tiling (T, S): direct lookup of the
+    scripts/microbench_kernel_ts.py measurement at this device's
+    production tilings, falling back to the fitted rank-32 curve
+    (BASE + slope*S + C/T; the production tilings all sit on S*T =
+    1024 so the S/T split of the fit is conventional — the lookup
+    values are the load-bearing ones)."""
+    table = HW_KERNEL_FLOOR_NS.get(rank, {})
+    if (T, S) in table:
+        return table[(T, S)]
+    return 5.1 + 0.67 * S + 1024.0 / T
 
 
 def _fastpath_struct_bound(X, blocks, grouping, rank, two_term=False):
@@ -517,14 +525,18 @@ def _fastpath_struct_bound(X, blocks, grouping, rank, two_term=False):
     else assumed free.
 
     Two-term (``two_term=True``, round-5): the sweep's per-pass
-    structure is an XLA gather op THEN the Pallas Gram kernel — two
-    sequential device programs, so their costs ADD.  The gather term is
-    the one-term DMA floor; the kernel term is the MEASURED kernel wall
-    floor at the table's own (T, S) tiling (_gram_kernel_floor_ns,
-    fitted from scripts/microbench_kernel_ts.py synthetic-tile runs —
-    the kernel is VPU-instruction-bound, so no further byte-counting
-    applies).  This prices the ~42 % of wall the round-4 bound left
-    formally unexplained (VERDICT r4 weak 2)."""
+    structure is an XLA gather op feeding the Pallas Gram kernel; per
+    table the floor is
+
+        NT x max(gather DMA ns/row, measured kernel wall ns/row)
+
+    — max, not sum: the device demonstrably overlaps the gather's DMA
+    with the kernel (sum of separately measured parts, 521 ms at 10M
+    rank 32, EXCEEDS the measured whole sweep, 410 ms).  The kernel
+    term is the measured device-time wall of the kernel alone at the
+    table's own (T, S) tiling (_gram_kernel_floor_ns, carry-chained
+    RTT-free measurement).  This prices the ~42 % of wall the round-4
+    gather-only bound left formally unexplained (VERDICT r4 weak 2)."""
     from myfm_tpu.design_categorical import try_compile_categorical
 
     plan = try_compile_categorical(
@@ -541,8 +553,11 @@ def _struct_bound_from_plan(plan, rank, two_term=False):
         rows_padded = t.n_tiles * t.tile_rows
         per_row_ns = lane_bytes / HW_STREAM_BPS * 1e9
         if two_term:
-            per_row_ns += _gram_kernel_floor_ns(
-                t.tile_rows, t.tile_entities, rank
+            per_row_ns = max(
+                per_row_ns,
+                _gram_kernel_floor_ns(
+                    t.tile_rows, t.tile_entities, rank
+                ),
             )
         total_s += rows_padded * per_row_ns * 1e-9
     return 1.0 / total_s

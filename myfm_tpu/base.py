@@ -427,8 +427,11 @@ class MyFMBase(ABC):
             # callback_default_freq sweeps, so the trainer may harvest
             # the trace asynchronously (trainer.callback_allows_async);
             # a user-supplied callback keeps the reference's eager
-            # per-sweep view semantics
-            on_iteration.allow_async_trace = callback is None
+            # per-sweep view semantics unless it opts in by exposing
+            # a truthy ``allow_async_trace`` attribute
+            on_iteration.allow_async_trace = callback is None or bool(
+                getattr(callback, "allow_async_trace", False)
+            )
 
             self.predictor_, self.history_ = self._train_core(
                 self.rank,

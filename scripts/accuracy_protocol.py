@@ -41,13 +41,24 @@ def rmse_mae(pred, y):
 
 class PhaseTimer:
     """fit() callback capturing the first-iteration wall (compile) and
-    the steady-state iteration rate."""
+    the steady-state iteration rate.
+
+    Tagged ``allow_async_trace`` so the trainer keeps its pipelined
+    harvesting (the timer never reads the model views) — the steady
+    rate then measures what a default-callback user gets.  The i == 0
+    sync forces first-sweep completion so the compile wall is
+    attributed to t_first, not smeared into the first few stamps; the
+    median over later diffs is robust to the ≤3-deep pipeline ramp."""
+
+    allow_async_trace = True
 
     def __init__(self):
         self.t0 = time.time()
         self.stamps = []
 
     def __call__(self, i, fm, hyper, history):
+        if i == 0:
+            float(fm.w0)  # block on the first sweep (compile wall)
         self.stamps.append(time.time())
         return False, None
 
