@@ -72,3 +72,89 @@ def test_fit_with_held_out_set_scores_it():
     )
     p = clf.predict_proba(X[100:])
     assert p.shape == (20,) and np.all((p >= 0) & (p <= 1))
+
+
+def _tiny_problem(n=120, nu=7, ni=5, seed=3):
+    rng = np.random.RandomState(seed)
+    u = rng.randint(0, nu, n)
+    i = rng.randint(0, ni, n)
+    X = sps.hstack(
+        [
+            sps.csr_matrix(
+                (np.ones(n), (np.arange(n), u)), shape=(n, nu)
+            ),
+            sps.csr_matrix(
+                (np.ones(n), (np.arange(n), i)), shape=(n, ni)
+            ),
+        ],
+        format="csr",
+    )
+    y = rng.normal(size=nu)[u] + rng.normal(size=ni)[i]
+    return X, y
+
+
+def test_async_trace_finalized_to_plain_containers():
+    """With the default callback the trainers harvest the trace
+    asynchronously (trainer._AsyncDrain); after fit() every container
+    must be a plain numpy-backed object — picklable, no device-buffer
+    lazies left (round-5 async-loop contract)."""
+    import pickle
+
+    from myfm_tpu.containers import FM, FMHyperParameters
+
+    X, y = _tiny_problem()
+    fm = MyFMGibbsRegressor(rank=2, random_seed=0)
+    fm.fit(X, y, n_iter=12, n_kept_samples=4)
+    assert len(fm.history_.hypers) == 12
+    for h in fm.history_.hypers:
+        assert type(h) is FMHyperParameters
+        assert isinstance(h.alpha, float)
+    assert len(fm.predictor_.samples) == 4
+    for s in fm.predictor_.samples:
+        assert type(s) is FM
+    pickle.loads(pickle.dumps(fm))  # must round-trip
+    # hyper trace is consistent and usable
+    df = fm.get_hyper_trace()
+    assert df.shape[0] == 12 and np.isfinite(df.values).all()
+
+
+def test_async_optin_callback_sees_live_values_and_early_stops():
+    """A user callback tagged allow_async_trace=True reads lazy views:
+    values must be real (finite, correct shapes) and early-stop must
+    still finalize the containers."""
+    from myfm_tpu.containers import FMHyperParameters
+
+    X, y = _tiny_problem()
+    seen = []
+
+    def cb(i, fm, hyper, history):
+        if i % 3 == 0:
+            seen.append((float(hyper.alpha), float(fm.w0)))
+        return (i >= 7), None
+
+    cb.allow_async_trace = True
+    fm = MyFMGibbsRegressor(rank=2, random_seed=0)
+    fm.fit(X, y, n_iter=50, n_kept_samples=45, callback=cb)
+    # stopped at iteration 7 (0-based) -> 8 recorded sweeps
+    assert len(fm.history_.hypers) == 8
+    assert all(
+        type(h) is FMHyperParameters for h in fm.history_.hypers
+    )
+    assert len(seen) == 3 and np.isfinite(np.asarray(seen)).all()
+
+
+def test_eager_user_callback_semantics_unchanged():
+    """A plain user callback gets eagerly materialized history entries
+    every sweep (reference FMTrainer.hpp:78 semantics)."""
+    from myfm_tpu.containers import FMHyperParameters
+
+    X, y = _tiny_problem()
+    kinds = []
+
+    def cb(i, fm, hyper, history):
+        kinds.append(type(history.hypers[-1]))
+        return False, None
+
+    fm = MyFMGibbsRegressor(rank=2, random_seed=0)
+    fm.fit(X, y, n_iter=5, callback=cb)
+    assert all(k is FMHyperParameters for k in kinds)
