@@ -418,6 +418,7 @@ def _build_color_arrays(
     dtype: np.dtype,
     pe: Optional[int] = None,
     pf: Optional[int] = None,
+    as_numpy: bool = False,
 ) -> ColorPlan:
     indptr, indices, data = csc.indptr, csc.indices, csc.data
     idx, counts = _take_segments(indptr, feats_local)
@@ -440,6 +441,14 @@ def _build_color_arrays(
     sx2 = np.zeros(Pf, dtype=dtype)
     sx2[:n_feat] = sx2_all[feats_local]
 
+    if as_numpy:
+        # caller stacks the host arrays and uploads ONCE — a per-color
+        # upload is ~5 tiny device_puts x ~2000 colors ≈ 30 s through
+        # the remote-device tunnel (measured on the ML-100k timesvdpp
+        # design, 2026-08-20)
+        return ColorPlan(
+            rows=rows, vals=vals, seg=seg, feat=feat, sx2=sx2
+        )
     return ColorPlan(
         rows=jnp.asarray(rows),
         vals=jnp.asarray(vals),
@@ -624,15 +633,16 @@ def _compile_table(
                     dtype,
                     pe=pe,
                     pf=pf,
+                    as_numpy=True,
                 )
                 for g in stacked
             ]
             color_stack = ColorStack(
-                rows=jnp.stack([c.rows for c in planned]),
-                vals=jnp.stack([c.vals for c in planned]),
-                seg=jnp.stack([c.seg for c in planned]),
-                feat=jnp.stack([c.feat for c in planned]),
-                sx2=jnp.stack([c.sx2 for c in planned]),
+                rows=jnp.asarray(np.stack([c.rows for c in planned])),
+                vals=jnp.asarray(np.stack([c.vals for c in planned])),
+                seg=jnp.asarray(np.stack([c.seg for c in planned])),
+                feat=jnp.asarray(np.stack([c.feat for c in planned])),
+                sx2=jnp.asarray(np.stack([c.sx2 for c in planned])),
             )
 
     return (

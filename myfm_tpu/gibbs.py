@@ -155,20 +155,34 @@ class MyFMGibbsBase(MyFMBase):
                 rank, init_stdev, X, X_rel, y, random_seed, config,
                 callback,
             )
+        from .design_cache import design_fingerprint, get_or_build
+
+        # plan builds cost ~10 s (joint 100k) to ~40 s (categorical
+        # 10M) on a remote-device link; repeated fits on the same
+        # design (sweeps, protocols, benches) reuse the compiled plan
+        # through the content-addressed cache
+        fp = design_fingerprint(X, X_rel, config.group_index)
         cat_plan = None
         if self.sweep_strategy in ("auto", "categorical"):
             from .design_categorical import try_compile_categorical
 
-            cat_plan = try_compile_categorical(
-                X,
-                X_rel,
-                grouping=np.asarray(config.group_index, dtype=np.int32),
-                n_groups=None,
-                dtype=self.dtype,
-                rank=rank,
-                # side features are drawn as (R+1)-joint [w|V] rows, so
-                # the entity+attribute extension needs the linear terms
-                allow_side=bool(config.fit_linear),
+            cat_plan = get_or_build(
+                "cat_gibbs", fp,
+                (self.dtype.str, rank, bool(config.fit_linear)),
+                lambda: try_compile_categorical(
+                    X,
+                    X_rel,
+                    grouping=np.asarray(
+                        config.group_index, dtype=np.int32
+                    ),
+                    n_groups=None,
+                    dtype=self.dtype,
+                    rank=rank,
+                    # side features are drawn as (R+1)-joint [w|V]
+                    # rows, so the entity+attribute extension needs
+                    # the linear terms
+                    allow_side=bool(config.fit_linear),
+                ),
             )
         use_joint = self.sweep_strategy == "joint"
         if cat_plan is None:
@@ -192,19 +206,27 @@ class MyFMGibbsBase(MyFMBase):
                     config.group_index,
                 )
             )
-            plan = compile_design(
-                X,
-                X_rel,
-                grouping=np.asarray(config.group_index, dtype=np.int32),
-                dtype=self.dtype,
-                strategy=(
-                    "auto"
-                    if self.sweep_strategy in ("joint", "colored")
-                    else self.sweep_strategy
+            row_strategy = (
+                "auto"
+                if self.sweep_strategy in ("joint", "colored")
+                else self.sweep_strategy
+            )
+            plan = get_or_build(
+                "row_gibbs", fp,
+                (self.dtype.str, row_strategy,
+                 self.max_unrolled_colors, want_joint, rank),
+                lambda: compile_design(
+                    X,
+                    X_rel,
+                    grouping=np.asarray(
+                        config.group_index, dtype=np.int32
+                    ),
+                    dtype=self.dtype,
+                    strategy=row_strategy,
+                    max_unrolled_colors=self.max_unrolled_colors,
+                    joint_dense=want_joint,
+                    joint_rank=rank,
                 ),
-                max_unrolled_colors=self.max_unrolled_colors,
-                joint_dense=want_joint,
-                joint_rank=rank,
             )
             use_joint = use_joint or (
                 want_joint and joint_auto_eligible(plan, rank,

@@ -120,24 +120,17 @@ class MyFMVariationalBase(MyFMBase):
             )
             return trainer.run(config.n_iter, callback)
 
+        from .design_cache import design_fingerprint, get_or_build
+
+        fp = design_fingerprint(X, X_rel, config.group_index)
         cat_plan = None
         if self.sweep_strategy in ("auto", "categorical"):
             from .design_categorical import try_compile_categorical
 
             # the VI Gram carries 3R+2 z-columns — tile for that width
-            cat_plan = try_compile_categorical(
-                X,
-                X_rel,
-                grouping=np.asarray(config.group_index, dtype=np.int32),
-                n_groups=None,
-                dtype=self.dtype,
-                rank=max(3 * rank, 1),
-            )
-            if cat_plan is None:
-                # entity+attribute designs (multi-hot / numeric side
-                # columns in a block): the EA table's Gram carries
-                # 4R+2 z-columns — tile for that width
-                cat_plan = try_compile_categorical(
+            cat_plan = get_or_build(
+                "cat_vi", fp, (self.dtype.str, rank),
+                lambda: try_compile_categorical(
                     X,
                     X_rel,
                     grouping=np.asarray(
@@ -145,8 +138,26 @@ class MyFMVariationalBase(MyFMBase):
                     ),
                     n_groups=None,
                     dtype=self.dtype,
-                    rank=max(4 * rank, 1),
-                    allow_side=True,
+                    rank=max(3 * rank, 1),
+                ),
+            )
+            if cat_plan is None:
+                # entity+attribute designs (multi-hot / numeric side
+                # columns in a block): the EA table's Gram carries
+                # 4R+2 z-columns — tile for that width
+                cat_plan = get_or_build(
+                    "cat_vi_ea", fp, (self.dtype.str, rank),
+                    lambda: try_compile_categorical(
+                        X,
+                        X_rel,
+                        grouping=np.asarray(
+                            config.group_index, dtype=np.int32
+                        ),
+                        n_groups=None,
+                        dtype=self.dtype,
+                        rank=max(4 * rank, 1),
+                        allow_side=True,
+                    ),
                 )
         if cat_plan is not None:
             trainer = CategoricalVITrainer(
@@ -160,15 +171,22 @@ class MyFMVariationalBase(MyFMBase):
                 "(main and blocks) to be one-hot per row."
             )
 
-        plan = compile_design(
-            X,
-            X_rel,
-            grouping=np.asarray(config.group_index, dtype=np.int32),
-            dtype=self.dtype,
-            strategy=(
-                "serial" if self.sweep_strategy == "serial" else "auto"
+        row_strategy = (
+            "serial" if self.sweep_strategy == "serial" else "auto"
+        )
+        plan = get_or_build(
+            "row_vi", fp,
+            (self.dtype.str, row_strategy, self.max_unrolled_colors),
+            lambda: compile_design(
+                X,
+                X_rel,
+                grouping=np.asarray(
+                    config.group_index, dtype=np.int32
+                ),
+                dtype=self.dtype,
+                strategy=row_strategy,
+                max_unrolled_colors=self.max_unrolled_colors,
             ),
-            max_unrolled_colors=self.max_unrolled_colors,
         )
         trainer = VariationalTrainer(
             plan, y, cfg, rank, init_stdev, random_seed, self.dtype
