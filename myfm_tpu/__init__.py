@@ -28,6 +28,7 @@ from .ops.special import (  # reference declare_module.hpp:400-403
     mean_var_truncated_normal_left,
     mean_var_truncated_normal_right,
 )
+from .design_cache import clear_plan_cache
 from .predictor import Predictor, VariationalPredictor
 from .relational import RelationBlock
 from .variational import (
@@ -66,5 +67,6 @@ __all__ = [
     "VariationalPredictor",
     "mean_var_truncated_normal_left",
     "mean_var_truncated_normal_right",
+    "clear_plan_cache",
     "__version__",
 ]
