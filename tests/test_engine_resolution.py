@@ -150,3 +150,31 @@ def test_tiny_timesvdpp_never_colored(dtype):
         grouping=grouping,
     )
     assert fm.history_.engine in ("fastpath", "joint")
+
+
+def test_auto_prefers_joint_for_long_chains_at_small_scale():
+    """Round-5 rule: at <= 500k rows with n_iter >= 200 and the joint
+    candidate gates open, "auto" resolves to the joint engine (its
+    ~25 it/s steady beats the fast path's ~11 it/s once the one-time
+    plan build amortizes — measured on ML-100k timesvdpp); short
+    chains keep the fast path (lower setup wall)."""
+    from ml_features import build_feature_blocks, load_movielens
+
+    from myfm_tpu import MyFMGibbsRegressor
+
+    df_tr, df_te = load_movielens("tiny", 0, synthetic=True)
+    X, _, blocks, _, grouping = build_feature_blocks(
+        df_tr, df_te, "timesvdpp_flipped"
+    )
+    y = df_tr.rating.values.astype(np.float64)
+    # f64: the joint candidate gate is open at any group size
+    short = MyFMGibbsRegressor(
+        rank=4, random_seed=3, dtype=np.float64
+    ).fit(X, y, X_rel=blocks, n_iter=3, n_kept_samples=1,
+          grouping=grouping)
+    assert short.history_.engine == "fastpath"
+    long = MyFMGibbsRegressor(
+        rank=4, random_seed=3, dtype=np.float64
+    ).fit(X, y, X_rel=blocks, n_iter=200, n_kept_samples=1,
+          grouping=grouping)
+    assert long.history_.engine == "joint"
