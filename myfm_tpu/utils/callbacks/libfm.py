@@ -27,6 +27,13 @@ _BURN_IN = 5  # iterations excluded from the *_all_but_5 running mean
 class LibFMLikeCallbackBase(ABC):
     """Per-iteration test scoring with running posterior averaging."""
 
+    # The callbacks read model state strictly INSIDE the callback (the
+    # lazy views the trainer passes), so the trainer may keep its
+    # pipelined trace harvesting — per sweep the only forced sync is
+    # this callback's own test-score fetch instead of the eager loop's
+    # ~6 fetches (trainer.callback_allows_async).
+    allow_async_trace = True
+
     def __init__(
         self,
         n_iter: int,
